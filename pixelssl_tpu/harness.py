@@ -1,0 +1,79 @@
+"""Programmatic experiment harness: build algorithms without the proxy/CLI.
+
+Used by benchmarks, the compile-check entry points and tests that need an
+algorithm + synthetic batches without touching datasets on disk.
+"""
+
+import numpy as np
+
+from . import parallel, runner
+from .nn import lrer as nnlrer
+from .nn import optimizer as nnoptimizer
+
+
+def default_args(ssl_algorithm='ssl_null', **overrides):
+    """Full-default args namespace for the sseg task + given algorithm."""
+    from .tasks import sseg
+    parser = runner.create_parser(ssl_algorithm)
+    sseg.add_parser_arguments(parser)
+    args = parser.parse_args([])
+    args.ssl_algorithm = ssl_algorithm
+    for k, v in overrides.items():
+        setattr(args, k.replace('-', '_'), v)
+    if not args.models:
+        args.models = {'model': 'deeplabv2'}
+        args.optimizers = {'model': 'sgd'}
+        args.lrers = {'model': 'polynomiallr'}
+        args.criterions = {'model': 'sseg_criterion'}
+    args.labeled_batch_size = args.batch_size - args.unlabeled_batch_size
+    return args
+
+
+def build_algorithm(args, mesh=None, iters_per_epoch=10):
+    """Resolve component dicts and build the algorithm (mirrors
+    proxy._build_ssl_algorithm, reference proxy.py:421-441)."""
+    from . import ssl_algorithm as ssl_registry
+    from .tasks import sseg
+
+    mesh = mesh if mesh is not None else parallel.make_mesh()
+    n_dev = mesh.devices.size
+
+    model_dict, criterion_dict, optimizer_dict, lrer_dict = {}, {}, {}, {}
+    for cname in args.models.keys():
+        model_dict[cname] = getattr(sseg.model, args.models[cname])()(args)
+        criterion_dict[cname] = getattr(sseg.criterion, args.criterions[cname])()(args)
+        lrer_dict[cname] = getattr(nnlrer, args.lrers[cname])(args)
+        optimizer_dict[cname] = getattr(nnoptimizer, args.optimizers[cname])(args)
+    task_func = sseg.func.task_func()(args)
+
+    lbs_local = args.labeled_batch_size // n_dev
+    ubs_local = args.unlabeled_batch_size // n_dev
+    local_b = lbs_local + ubs_local
+    example_inp = (np.zeros((local_b, args.im_size, args.im_size, 3),
+                            np.float32),)
+
+    builder = ssl_registry.get_builder(args.ssl_algorithm)
+    algo = builder(args, model_dict, optimizer_dict, lrer_dict,
+                   criterion_dict, task_func,
+                   mesh=mesh, lbs_local=lbs_local, ubs_local=ubs_local,
+                   iters_per_epoch=iters_per_epoch, example_inp=example_inp)
+    algo.build()
+    return algo
+
+
+def synthetic_batch(args, mesh, seed=0):
+    """One sharded synthetic two-stream train batch (labeled-first blocked
+    per device, like the real input path)."""
+    rng = np.random.default_rng(seed)
+    n_dev = mesh.devices.size
+    b = args.batch_size
+    s = args.im_size
+    img = rng.standard_normal((b, s, s, 3)).astype(np.float32)
+    gt = rng.integers(0, args.num_classes, (b, s, s)).astype(np.int32)
+    lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
+    if ubs > 0:
+        gt[lbs:] = -1  # fake label (reference data.py:104-105)
+        if n_dev > 1:
+            img = parallel.reorder_two_stream(img, lbs, ubs, n_dev)
+            gt = parallel.reorder_two_stream(gt, lbs, ubs, n_dev)
+    return parallel.shard_batch({'inp': (img,), 'gt': (gt,)}, mesh)

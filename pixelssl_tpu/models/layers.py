@@ -1,0 +1,235 @@
+"""Shared TPU-native NN building blocks (NHWC, flax.linen).
+
+Design notes:
+
+* ``SyncBatchNorm`` is the collective replacement for the reference's
+  vendored thread-queue SyncBN (reference:
+  pixelssl/nn/module/third_party/sync_batchnorm/batchnorm.py:38-125):
+  per-device (sum, ssum, count) are ``psum``'d over the mesh axis inside
+  the layer, normalization uses biased variance and running stats use the
+  unbiased correction — numerically the same statistics the reference's
+  master thread computed, with zero host involvement.
+* Bilinear resizes are expressed as two small dense matmuls (one per
+  spatial axis) built from cached interpolation matrices. This supports
+  both align_corners conventions the reference mixes
+  (task/sseg/module/deeplab_v2.py:32 align=True,
+  _pspnet.py:99-100 align=False) exactly, is differentiable, and maps the
+  resize onto the MXU instead of gather units.
+* ``adaptive_avg_pool`` reproduces torch's floor/ceil bin boundaries with
+  an averaging matrix, again as matmuls.
+* ``pixel_shuffle`` matches torch channel ordering so converted
+  checkpoints line up (reference _pspnet.py:40-54).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Sync BatchNorm
+# ---------------------------------------------------------------------------
+
+class SyncBatchNorm(nn.Module):
+    """Cross-replica BatchNorm with torch-compatible statistics.
+
+    momentum follows *torch* semantics (new = (1-m)*old + m*batch, m=0.1
+    default) — reference batchnorm.py:113-125 including the unbiased
+    running-variance correction.
+    """
+    momentum: float = 0.1
+    eps: float = 1e-5
+    axis_name: str = None
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        features = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones(features, jnp.float32))
+        scale = (self.param('scale', nn.initializers.ones, (features,))
+                 if self.use_scale else None)
+        bias = (self.param('bias', nn.initializers.zeros, (features,))
+                if self.use_bias else None)
+
+        dtype = x.dtype
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            local_count = np.prod([x.shape[a] for a in axes])
+            s = jnp.sum(xf, axis=axes)
+            ss = jnp.sum(jnp.square(xf), axis=axes)
+            count = jnp.asarray(local_count, jnp.float32)
+            if self.axis_name is not None and not self.is_initializing():
+                s, ss, count = jax.lax.psum((s, ss, count), self.axis_name)
+            mean = s / count
+            var = ss / count - jnp.square(mean)  # biased, used to normalize
+            if not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps)
+        if scale is not None:
+            inv = inv * scale
+        y = (x.astype(jnp.float32) - mean) * inv
+        if bias is not None:
+            y = y + bias
+        return y.astype(dtype)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BN that always uses running statistics (for frozen backbones)."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones(features, jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (features,))
+        bias = self.param('bias', nn.initializers.zeros, (features,))
+        inv = jax.lax.rsqrt(ra_var.value + self.eps) * scale
+        return ((x.astype(jnp.float32) - ra_mean.value) * inv + bias).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Resize as matmul
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _linear_resize_matrix(in_size, out_size, align_corners):
+    """[out, in] bilinear interpolation weights (2 taps per row)."""
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    if out_size == 1:
+        if align_corners:
+            w[0, 0] = 1.0
+        else:
+            # half-pixel center of the single output maps to in/2 - 0.5
+            src = max(0.0, min(in_size - 1, in_size / 2.0 - 0.5))
+            lo = int(np.floor(src))
+            hi = min(lo + 1, in_size - 1)
+            t = src - lo
+            w[0, lo] += 1 - t
+            w[0, hi] += t
+        return w
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1)
+        else:
+            src = (i + 0.5) * in_size / out_size - 0.5
+            src = min(max(src, 0.0), in_size - 1)
+        lo = int(np.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        t = src - lo
+        w[i, lo] += 1 - t
+        w[i, hi] += t
+    return w
+
+
+def resize_bilinear(x, size, align_corners=False):
+    """Bilinear resize of [N,H,W,C] to spatial ``size`` (h, w)."""
+    h_out, w_out = size
+    n, h_in, w_in, c = x.shape
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    if h_out != h_in:
+        mh = jnp.asarray(_linear_resize_matrix(h_in, h_out, align_corners))
+        x = jnp.einsum('oh,nhwc->nowc', mh, x)
+    if w_out != w_in:
+        mw = jnp.asarray(_linear_resize_matrix(w_in, w_out, align_corners))
+        x = jnp.einsum('ow,nhwc->nhoc', mw, x)
+    return x.astype(dtype)
+
+
+def resize_nearest(x, size):
+    """Nearest-neighbor resize of [N,H,W,C] (torch 'nearest' convention)."""
+    h_out, w_out = size
+    n, h_in, w_in, c = x.shape
+    hi = (np.arange(h_out) * h_in // h_out).astype(np.int32)
+    wi = (np.arange(w_out) * w_in // w_out).astype(np.int32)
+    return x[:, hi][:, :, wi]
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_pool_matrix(in_size, out_size):
+    """[out, in] averaging matrix with torch adaptive-pool bin boundaries."""
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -(-((i + 1) * in_size) // out_size)  # ceil
+        w[i, lo:hi] = 1.0 / (hi - lo)
+    return w
+
+
+def adaptive_avg_pool(x, output_size):
+    """torch.nn.AdaptiveAvgPool2d for [N,H,W,C]."""
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    oh, ow = output_size
+    n, h, w, c = x.shape
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    if oh != h:
+        x = jnp.einsum('oh,nhwc->nowc', jnp.asarray(_adaptive_pool_matrix(h, oh)), x)
+    if ow != w:
+        x = jnp.einsum('ow,nhwc->nhoc', jnp.asarray(_adaptive_pool_matrix(w, ow)), x)
+    return x.astype(dtype)
+
+
+def global_avg_pool(x, keepdims=True):
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+# ---------------------------------------------------------------------------
+# PixelShuffle + ICNR
+# ---------------------------------------------------------------------------
+
+def pixel_shuffle(x, scale):
+    """torch.nn.PixelShuffle channel ordering, NHWC layout.
+
+    input [N,H,W,C*r*r] → output [N,H*r,W*r,C] with
+    out[n, h*r+i, w*r+j, c] = in[n, h, w, c*r*r + i*r + j].
+    """
+    n, h, w, crr = x.shape
+    r = scale
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n h i w j c
+    return x.reshape(n, h * r, w * r, c)
+
+
+def icnr_init(key, shape, dtype=jnp.float32, scale=2,
+              base_init=nn.initializers.kaiming_normal()):
+    """ICNR initializer for PixelShuffle convs (reference ssl_cct.py:514-525):
+    sub-kernels are initialized identically so the shuffle starts as
+    nearest-neighbor upsampling. ``shape`` is HWIO with O = C*scale²."""
+    h, w, i, o = shape
+    c = o // (scale * scale)
+    sub = base_init(key, (h, w, i, c), dtype)
+    # replicate each output channel scale² times: out index c*r² + k
+    sub = jnp.repeat(sub, scale * scale, axis=-1)
+    return sub
+
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+
+def max_pool(x, window, strides, padding='SAME'):
+    return nn.max_pool(x, (window, window), strides=(strides, strides),
+                       padding=padding)
+
+
+def leaky_relu(x, negative_slope=0.2):
+    return jax.nn.leaky_relu(x, negative_slope)

@@ -1,0 +1,43 @@
+"""Script entry point (reference: pixelssl/runner.py:12-41).
+
+``run_script(config, proxy_module, proxy_class)`` builds an argparse parser
+from every layer's ``add_parser_arguments``, serializes the config dict to
+argv, parses, instantiates the task proxy and runs it.
+"""
+
+import argparse
+import sys
+
+from . import ssl_algorithm
+from .nn import lrer, optimizer
+from .task_template import proxy as proxy_template
+from .utils import cmd, logger
+
+
+def create_parser(ssl_algorithm_name):
+    parser = argparse.ArgumentParser(description='PixelSSL-TPU experiment')
+    optimizer.add_parser_arguments(parser)
+    lrer.add_parser_arguments(parser)
+    ssl_algorithm.get_module(ssl_algorithm_name).add_parser_arguments(parser)
+    return parser
+
+
+def run_script(config, proxy_module, proxy_class, mesh=None):
+    if '--help' in sys.argv or '-h' in sys.argv:
+        parser = create_parser(config.get('ssl_algorithm', 'ssl_null'))
+        proxy_module.add_parser_arguments(parser)
+        parser.parse_args()
+        return
+
+    algo = config.get('ssl_algorithm')
+    if not algo:
+        logger.log_err('Config must define `ssl_algorithm`')
+
+    parser = create_parser(algo)
+    proxy_module.add_parser_arguments(parser)
+    args = cmd.parse_args(parser, config)
+    cmd.print_args(args)
+
+    task_proxy = proxy_class(args, mesh=mesh) if mesh is not None else proxy_class(args)
+    task_proxy.run()
+    return task_proxy

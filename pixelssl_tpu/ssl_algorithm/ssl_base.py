@@ -1,0 +1,241 @@
+"""SSL algorithm base: pure-functional train/eval engines.
+
+Re-design of the reference's ``_SSLBase`` (reference:
+pixelssl/ssl_algorithm/ssl_base.py:19-91). The reference algorithm object
+holds live torch models/optimizers and runs multi-launch train loops; here an
+algorithm is a **state pytree + one fused jitted train step**:
+
+* ``build(rng)`` initializes the state pytree (params, batch_stats, optimizer
+  states, EMA copies, step counter, base RNG key) replicated over the mesh;
+* ``_train_step(state, batch) -> (state, metrics)`` is traced ONCE and
+  shard_map'd over the mesh data axis (parallel/mesh.py): all model
+  forwards, losses, gradients, optimizer updates, EMA updates and BN-stat
+  psums of one iteration fuse into a single XLA program — the reference's
+  ≥2 (MT) to ≥7 (GCT) DataParallel scatter/gather rounds per iteration
+  collapse into one device launch;
+* per-step randomness derives from a base key folded with the step counter
+  and the mesh axis index, so steps are reproducible and no RNG traffic
+  crosses the host boundary;
+* host-side ``train()``/``validate()`` only move batches and log meters,
+  mirroring the reference loop structure (ssl_null.py:123-192).
+
+Checkpointing is orbax-based with the reference's algorithm-name guard
+(reference ssl_null.py:194-218).
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import logger
+from ..utils.logger import AvgMeterSet
+from ..task_template.func import METRIC_STR
+from .. import parallel
+
+
+class TaskContext(object):
+    """Everything the proxy resolves for an algorithm build.
+
+    Mirrors the reference export-function arguments
+    (ssl_base.py:19-37: args, model_dict, optimizer_dict, lrer_dict,
+    criterion_dict, task_func) plus the mesh/runtime facts the TPU build
+    needs (per-device batch split, iters per epoch, example input).
+    """
+
+    def __init__(self, args, models, optimizers, lrers, criterions, task_func,
+                 mesh=None, axis_name=parallel.DATA_AXIS,
+                 lbs_local=None, ubs_local=None,
+                 iters_per_epoch=None, example_inp=None, example_gt=None):
+        self.args = args
+        self.models = models            # dict name -> TaskModel
+        self.optimizers = optimizers    # dict name -> OptimizerFactory
+        self.lrers = lrers              # dict name -> LRSchedulerFactory
+        self.criterions = criterions    # dict name -> TaskCriterion
+        self.task_func = task_func
+        self.mesh = mesh if mesh is not None else parallel.make_mesh()
+        self.axis_name = axis_name
+        self.n_dev = self.mesh.devices.size
+        self.lbs_local = lbs_local
+        self.ubs_local = ubs_local
+        self.iters_per_epoch = iters_per_epoch
+        self.example_inp = example_inp  # tuple of LOCAL-shape arrays
+        self.example_gt = example_gt
+
+    def main_key(self, dct, expected=None):
+        keys = list(dct.keys())
+        if expected is not None and set(keys) != set(expected):
+            logger.log_err('Component dict keys {0} do not match the '
+                           'algorithm requirement {1}'.format(keys, expected))
+        return keys[0]
+
+
+class SSLBase(object):
+    NAME = 'ssl_base'
+    SUPPORTED_TASK_TYPES = []
+
+    def __init__(self, args, ctx):
+        self.args = args
+        self.ctx = ctx
+        self.state = None
+        self._train_step = None   # jitted shard_map'd step
+        self._eval_step = None    # jitted eval fn
+        self.meters = AvgMeterSet()
+
+    # ------------------------------------------------------------------
+    # build
+    # ------------------------------------------------------------------
+
+    def build(self, rng=None):
+        """Initialize state and compile the fused steps."""
+        if rng is None:
+            rng = jax.random.PRNGKey(getattr(self.args, 'seed', 0) or 0)
+        state = self._build_state(rng)
+        state['step'] = jnp.zeros((), jnp.int32)
+        state['rng'] = rng
+        self.state = parallel.replicate(state, self.ctx.mesh)
+        self._train_step = parallel.parallel_step(
+            self._step_fn, self.ctx.mesh, self.ctx.axis_name)
+        self._eval_step = self._make_eval_step()
+        return self.state
+
+    def _build_state(self, rng):
+        raise NotImplementedError
+
+    def _step_fn(self, state, batch):
+        """Pure train step, written against ctx.axis_name."""
+        raise NotImplementedError
+
+    def _eval_fn(self, state, batch):
+        """Pure eval step: returns {model_id: (activated_pred_tuple,
+        loss_vec)} — one entry per model to score (e.g. MT scores both the
+        student and the EMA teacher, reference ssl_mt.py:226-290)."""
+        raise NotImplementedError
+
+    def _make_eval_step(self):
+        # eval uses running BN stats → no collectives; plain jit with the
+        # batch sharded over the mesh lets XLA partition it.
+        mesh = self.ctx.mesh
+        rep = parallel.replicate_sharding(mesh)
+        shd = parallel.batch_sharding(mesh, self.ctx.axis_name)
+        return jax.jit(self._eval_fn, in_shardings=(rep, shd))
+
+    # ------------------------------------------------------------------
+    # helpers shared by all algorithm step functions
+    # ------------------------------------------------------------------
+
+    def _step_rng(self, state, salt=0):
+        rng = jax.random.fold_in(state['rng'], state['step'] * 131 + salt)
+        return parallel.fold_rng(rng, self.ctx.axis_name)
+
+    def _pmean(self, tree):
+        return parallel.pmean_if_parallel(tree, self.ctx.axis_name)
+
+    def _global_mean(self, vec):
+        """Mean of a per-sample vector across ALL devices' samples."""
+        s = jnp.sum(vec)
+        n = jnp.asarray(vec.shape[0], jnp.float32)
+        s, n = parallel.psum_if_parallel((s, n), self.ctx.axis_name)
+        return s / n
+
+    def _apply_updates(self, tx, params, grads, opt_state):
+        import optax
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    # ------------------------------------------------------------------
+    # host loops (structure mirrors reference ssl_null.py:123-192)
+    # ------------------------------------------------------------------
+
+    def train(self, data_loader, epoch):
+        self.meters.reset()
+        args = self.args
+        n_batches = len(data_loader)
+        t0 = time.time()
+        for idx, batch in enumerate(data_loader):
+            data_time = time.time() - t0
+            self.state, metrics = self._train_step(self.state, batch)
+            if (idx + 1) % args.log_freq == 0 or idx == n_batches - 1:
+                # device sync only at log boundaries — keeps the step
+                # pipeline free of per-iteration host round-trips
+                metrics = jax.device_get(metrics)
+                self.meters.update_dict(
+                    {k: float(np.asarray(v)) for k, v in metrics.items()})
+                self.meters.update('batch_time', (time.time() - t0) / min(idx + 1, args.log_freq))
+                logger.log_info(
+                    'epoch {0:>3} iter {1:>5}/{2:<5} {3}'.format(
+                        epoch, idx + 1, n_batches,
+                        '  '.join('{0}: {1:.5f}'.format(k, float(np.asarray(v)))
+                                  for k, v in sorted(metrics.items()))))
+                t0 = time.time()
+        return self.meters
+
+    def validate(self, data_loader, epoch):
+        # fresh meter set — reset() keeps stale training keys alive, which
+        # would leak zero-valued training meters into the val report
+        self.meters = AvgMeterSet()
+        task_func = self.ctx.task_func
+        for idx, batch in enumerate(data_loader):
+            outputs = self._eval_step(self.state, batch)
+            valid = batch.get('valid')
+            for model_id, (activated_pred, loss_vec) in outputs.items():
+                if valid is not None:
+                    lv = np.asarray(loss_vec)
+                    v = np.asarray(valid)
+                    loss = float((lv * v).sum() / max(v.sum(), 1.0))
+                else:
+                    loss = float(np.asarray(jnp.mean(loss_vec)))
+                self.meters.update('{0}_loss'.format(model_id), loss)
+                task_func.metrics(activated_pred, batch['gt'], batch['inp'],
+                                  self.meters, id_str=model_id)
+        results = {}
+        for key, meter in self.meters.items():
+            if METRIC_STR in key:
+                results[key] = meter.avg
+                logger.log_info('val epoch {0}: {1} = {2:.5f}'.format(
+                    epoch, key, float(meter.avg)))
+        for key, meter in self.meters.items():
+            if key.endswith('_loss'):
+                logger.log_info('val epoch {0}: {1} = {2:.5f}'.format(
+                    epoch, key, float(meter.avg)))
+        return results
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax pytree + algorithm-name guard)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, epoch):
+        import orbax.checkpoint as ocp
+        path = os.path.join(self.args.checkpoint_path,
+                            'checkpoint_{0}'.format(epoch))
+        path = os.path.abspath(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {'state': jax.device_get(self.state),
+                              'epoch': np.asarray(epoch),
+                              'algorithm_id': np.asarray(_algo_id(self.NAME))})
+        logger.log_info('Saved checkpoint: {0}'.format(path))
+        return path
+
+    def load_checkpoint(self, path=None):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path or self.args.resume)
+        template = {'state': jax.device_get(self.state),
+                    'epoch': np.asarray(0),
+                    'algorithm_id': np.asarray(0)}
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path, template)
+        if int(restored['algorithm_id']) != _algo_id(self.NAME):
+            logger.log_err('Checkpoint at {0} was saved by a different SSL '
+                           'algorithm (guard mismatch, expected `{1}`)'
+                           .format(path, self.NAME))
+        self.state = parallel.replicate(restored['state'], self.ctx.mesh)
+        logger.log_info('Loaded checkpoint: {0} (epoch {1})'.format(
+            path, int(restored['epoch'])))
+        return int(restored['epoch'])
+
+
+def _algo_id(name):
+    """Stable small-int id of an algorithm name (checkpoint guard)."""
+    return sum((i + 1) * ord(c) for i, c in enumerate(name)) % 1000003

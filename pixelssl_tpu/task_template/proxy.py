@@ -1,0 +1,430 @@
+"""Task proxy: experiment orchestration (reference:
+pixelssl/task_template/proxy.py:18-457).
+
+Pipeline preserved from the reference: argument validation → output dirs →
+device scaling → dataset wiring (SplitUnlabeledWrapper / JointDatasetsWrapper
+/ TwoStreamBatchSampler) → algorithm build → epoch loop with val/checkpoint
+frequencies. TPU-first changes:
+
+* ``gpus``/CUDA checks (proxy.py:252-261) become mesh facts: the config
+  batch/lr/worker values are per-device and are scaled by the mesh size,
+  exactly mirroring the reference's linear GPU scaling, but the scaled batch
+  is materialized as ONE global array sharded over the mesh instead of a
+  DataParallel scatter;
+* the train loader re-blocks each two-stream batch so every device receives
+  a local labeled-first sub-batch (parallel.reorder_two_stream) and ships it
+  with a double-buffered device_put;
+* validation batches are mesh-sized with ignore-padded tails instead of the
+  reference's fixed batch_size=1 (proxy.py:402-403), keeping shapes static
+  for XLA while scoring every sample exactly once.
+"""
+
+import copy
+import os
+
+import jax
+import numpy as np
+import yaml
+
+from .. import parallel
+from ..nn import data as nndata
+from ..nn import loader as nnloader
+from ..nn import lrer as nnlrer
+from ..nn import optimizer as nnoptimizer
+from ..utils import cmd, logger
+
+
+def add_parser_arguments(parser):
+    """Core proxy flags — names match reference proxy.py:20-71."""
+    # experimental arguments
+    parser.add_argument('--exp-id', type=str, default='', metavar='', help='exp - unique id of experiment')
+    parser.add_argument('--resume', type=str, default='', metavar='', help='exp - checkpoint to resume')
+    parser.add_argument('--validation', type=cmd.str2bool, default=False, metavar='', help='exp - validation only')
+    parser.add_argument('--out-path', type=str, default='', metavar='', help='exp - output root path')
+    parser.add_argument('--visualize', type=cmd.str2bool, default=False, metavar='', help='exp - save visualization images')
+    parser.add_argument('--debug', type=cmd.str2bool, default=False, metavar='', help='exp - debug mode')
+    parser.add_argument('--val-freq', type=int, default=1, metavar='', help='exp - validation frequency [epoch]')
+    parser.add_argument('--log-freq', type=int, default=100, metavar='', help='exp - logging frequency [iteration]')
+    parser.add_argument('--visual-freq', type=int, default=100, metavar='', help='exp - visualization frequency [iteration]')
+    parser.add_argument('--checkpoint-freq', type=int, default=1, metavar='', help='exp - checkpoint frequency [epoch]')
+    parser.add_argument('--seed', type=int, default=0, metavar='', help='exp - global random seed (TPU build addition)')
+
+    # dataset / dataloader arguments
+    parser.add_argument('--trainset', type=yaml.full_load, default={}, metavar='', help='data - {dataset_type: [paths]}')
+    parser.add_argument('--valset', type=yaml.full_load, default={}, metavar='', help='data - {dataset_type: [paths]}')
+    parser.add_argument('--num-workers', type=int, default=1, metavar='', help='data - loader workers per device')
+    parser.add_argument('--im-size', type=int, default=None, metavar='', help='data - target input image size')
+    parser.add_argument('--unlabeledset', type=yaml.full_load, default={}, metavar='', help='data - extra unlabeled sets')
+    parser.add_argument('--sublabeled-path', type=str, default='', metavar='', help='data - labeled-subset prefix file')
+    parser.add_argument('--ignore-unlabeled', type=cmd.str2bool, default=True, metavar='', help='data - skip unlabeled samples')
+
+    # SSL algorithm arguments
+    parser.add_argument('--ssl-algorithm', type=str, default='', metavar='', help='ssl - algorithm name')
+    parser.add_argument('--models', type=yaml.full_load, default={}, metavar='', help='ssl - {component: task_model}')
+    parser.add_argument('--optimizers', type=yaml.full_load, default={}, metavar='', help='ssl - {component: optimizer}')
+    parser.add_argument('--lrers', type=yaml.full_load, default={}, metavar='', help='ssl - {component: lrer}')
+    parser.add_argument('--criterions', type=yaml.full_load, default={}, metavar='', help='ssl - {component: criterion}')
+
+    # training arguments (per-device, scaled by mesh size like the
+    # reference's per-GPU scaling, proxy.py:252-261)
+    parser.add_argument('--epochs', type=int, default=1, metavar='', help='train - total epochs')
+    parser.add_argument('--batch-size', type=int, default=16, metavar='', help='train - batch size per device')
+    parser.add_argument('--unlabeled-batch-size', type=int, default=0, metavar='', help='train - unlabeled samples per device batch')
+
+    # autoset arguments
+    parser.add_argument('--n-devices', type=int, default=0, metavar='', help='autoset - mesh size')
+    parser.add_argument('--task', type=str, default='', metavar='', help='autoset - task name')
+    parser.add_argument('--labeled-batch-size', type=int, default=None, metavar='', help='autoset - labeled samples per device batch')
+    parser.add_argument('--checkpoint-path', type=str, default='', metavar='', help='autoset - checkpoint dir')
+    parser.add_argument('--visual-debug-path', type=str, default='', metavar='', help='autoset')
+    parser.add_argument('--visual-train-path', type=str, default='', metavar='', help='autoset')
+    parser.add_argument('--visual-val-path', type=str, default='', metavar='', help='autoset')
+    parser.add_argument('--is-epoch-lrer', type=cmd.str2bool, default=None, metavar='', help='autoset - epoch-wise lr stepping')
+    parser.add_argument('--iters-per-epoch', type=int, default=None, metavar='', help='autoset')
+
+
+class TaskProxy(object):
+    NAME = 'task'
+    TASK_TYPE = None
+
+    def __init__(self, args, func, data, model, criterion, mesh=None):
+        self.args = args
+        self.func = func
+        self.data = data
+        self.model = model
+        self.criterion = criterion
+        self.mesh = mesh if mesh is not None else parallel.make_mesh()
+
+        self.train_loader = None
+        self.val_loader = None
+        self.model_dict = {}
+        self.criterion_dict = {}
+        self.optimizer_dict = {}
+        self.lrer_dict = {}
+        self.ssl_algorithm = None
+
+        self._init()
+
+    # ------------------------------------------------------------------
+
+    def _init(self):
+        self._preprocess_arguments()
+        self._create_dataloader()
+        self._build_ssl_algorithm()
+
+    def run(self):
+        args = self.args
+        start_epoch = 0
+        if args.resume:
+            start_epoch = self.ssl_algorithm.load_checkpoint(args.resume)
+
+        if args.validation:
+            self.ssl_algorithm.validate(self.val_loader, start_epoch)
+            return
+
+        for epoch in range(start_epoch, args.epochs):
+            self.ssl_algorithm.train(self.train_loader, epoch)
+            if self.val_loader is not None and (epoch + 1) % args.val_freq == 0:
+                self.ssl_algorithm.validate(self.val_loader, epoch)
+            if (epoch + 1) % args.checkpoint_freq == 0:
+                self.ssl_algorithm.save_checkpoint(epoch + 1)
+
+    # ------------------------------------------------------------------
+
+    def _preprocess_arguments(self):
+        args = self.args
+        logger.log_mode(args.debug)
+        args.task = self.NAME
+
+        # component-dict validation (reference proxy.py:198-237)
+        dicts = [args.models, args.optimizers, args.lrers, args.criterions]
+        if len(set(len(d) for d in dicts)) != 1:
+            logger.log_err('models/optimizers/lrers/criterions dicts must '
+                           'have the same keys')
+        for d in dicts[1:]:
+            if set(d.keys()) != set(args.models.keys()):
+                logger.log_err('models/optimizers/lrers/criterions dicts must '
+                               'have the same keys')
+        lrer_kinds = set()
+        for cname, lname in args.lrers.items():
+            lrer_kinds.add(lname in nnlrer.EPOCH_LRERS)
+        if len(lrer_kinds) > 1:
+            logger.log_err('All lrers must be of the same kind '
+                           '(epoch-wise or iter-wise), reference proxy.py:218-237')
+        if args.lrers:
+            args.is_epoch_lrer = list(args.lrers.values())[0] in nnlrer.EPOCH_LRERS
+
+        # device scaling — reference proxy.py:252-261 multiplied batch/lr/
+        # workers by the CUDA device count; identical semantics on the mesh
+        n_dev = self.mesh.devices.size
+        args.n_devices = n_dev
+        if n_dev > 1:
+            if hasattr(args, 'lr') and args.lr not in (None, -1):
+                args.lr = args.lr * n_dev
+            args.num_workers = args.num_workers * n_dev
+            args.batch_size = args.batch_size * n_dev
+            args.unlabeled_batch_size = args.unlabeled_batch_size * n_dev
+        args.labeled_batch_size = args.batch_size - args.unlabeled_batch_size
+        if args.labeled_batch_size <= 0:
+            logger.log_err('labeled_batch_size = batch_size - '
+                           'unlabeled_batch_size must be > 0')
+
+        # output directories (reference proxy.py:179-249)
+        if args.out_path:
+            exp_dir = os.path.join(args.out_path, args.exp_id or 'exp')
+            args.checkpoint_path = os.path.join(exp_dir, 'ckpt')
+            os.makedirs(args.checkpoint_path, exist_ok=True)
+            if args.visualize:
+                for sub in ('debug', 'train', 'val'):
+                    p = os.path.join(exp_dir, 'visualization', sub)
+                    os.makedirs(p, exist_ok=True)
+                    setattr(args, 'visual_{0}_path'.format(sub), p)
+            logger.log_file(os.path.join(
+                exp_dir, 'val.log' if args.validation else 'train.log'))
+
+    # ------------------------------------------------------------------
+
+    def _load_dataset(self, dataset_name, dataset_dir, is_train=True):
+        """Instantiate one dataset via the task data module's export function
+        (reference proxy.py:443-457)."""
+        if not hasattr(self.data, dataset_name):
+            logger.log_err('Unknown dataset type: {0}'.format(dataset_name))
+        dataset_args = copy.deepcopy(self.args)
+        if is_train:
+            dataset_args.trainset = {dataset_name: dataset_dir}
+        else:
+            dataset_args.valset = {dataset_name: dataset_dir}
+        return getattr(self.data, dataset_name)()(dataset_args, is_train)
+
+    def _create_dataloader(self):
+        args = self.args
+        n_dev = self.mesh.devices.size
+        with_unlabeled = (not args.ignore_unlabeled) and args.unlabeled_batch_size != 0
+        without_unlabeled = args.ignore_unlabeled and args.unlabeled_batch_size == 0
+
+        labeled_train_samples = unlabeled_train_samples = 0
+        trainset = None
+        if not args.validation:
+            if args.ignore_unlabeled and args.unlabeled_batch_size != 0:
+                logger.log_err('ignore_unlabeled == True requires unlabeled_batch_size == 0')
+            if not args.ignore_unlabeled and args.unlabeled_batch_size == 0:
+                logger.log_err('ignore_unlabeled == False requires unlabeled_batch_size != 0')
+
+            trainset_num = sum(len(v) for v in args.trainset.values())
+            unlabeledset_num = sum(len(v) for v in args.unlabeledset.values())
+
+            if trainset_num == 1 and unlabeledset_num == 0:
+                name = list(args.trainset.keys())[0]
+                trainset = self._load_dataset(name, list(args.trainset.values())[0][0])
+                labeled_train_samples = len(trainset.idxs)
+
+                sublabeled_prefix = None
+                if args.sublabeled_path:
+                    if not os.path.exists(args.sublabeled_path):
+                        logger.log_err('Cannot find labeled file: {0}'.format(args.sublabeled_path))
+                    with open(args.sublabeled_path) as f:
+                        sublabeled_prefix = [l.strip() for l in f.read().splitlines() if l.strip()]
+                    sublabeled_prefix = sublabeled_prefix or None
+
+                if sublabeled_prefix is not None:
+                    trainset = nndata.SplitUnlabeledWrapper(
+                        trainset, sublabeled_prefix,
+                        ignore_unlabeled=args.ignore_unlabeled)
+                    labeled_train_samples = len(trainset.labeled_idxs)
+                    unlabeled_train_samples = len(trainset.unlabeled_idxs)
+                elif with_unlabeled:
+                    logger.log_err('Unlabeled samples requested without an SSL dataset wrapper')
+            elif trainset_num > 1 or unlabeledset_num > 0:
+                if args.sublabeled_path:
+                    logger.log_err('Multiple training sets: sublabeled_path is not allowed')
+                labeled_sets = [self._load_dataset(n, d)
+                                for n, dirs in args.trainset.items() for d in dirs]
+                unlabeled_sets = [self._load_dataset(n, d)
+                                  for n, dirs in args.unlabeledset.items() for d in dirs]
+                if not unlabeled_sets and with_unlabeled:
+                    logger.log_err('Unlabeled samples requested but no unlabeledset given')
+                trainset = nndata.JointDatasetsWrapper(
+                    labeled_sets, unlabeled_sets,
+                    ignore_unlabeled=args.ignore_unlabeled)
+                labeled_train_samples = len(trainset.labeled_idxs)
+                unlabeled_train_samples = len(trainset.unlabeled_idxs)
+
+            if trainset is not None:
+                if without_unlabeled:
+                    idxs = (trainset.labeled_idxs
+                            if getattr(trainset, 'labeled_idxs', None)
+                            else list(range(len(trainset))))
+                    sampler = nndata.OneStreamBatchSampler(
+                        idxs, args.batch_size, seed=args.seed)
+                    lbs, ubs = args.batch_size, 0
+                else:
+                    sampler = nndata.TwoStreamBatchSampler(
+                        trainset.labeled_idxs, trainset.unlabeled_idxs,
+                        args.labeled_batch_size, args.unlabeled_batch_size,
+                        seed=args.seed)
+                    lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
+                self.train_loader = nnloader.DataLoader(
+                    trainset, sampler, num_workers=args.num_workers,
+                    device_put_fn=self._make_train_put_fn(lbs, ubs, n_dev))
+
+        # validation loader: mesh-sized batches, ignore-padded tail
+        valset_num = sum(len(v) for v in args.valset.values())
+        valset = None
+        if valset_num == 1:
+            name = list(args.valset.keys())[0]
+            valset = self._load_dataset(name, list(args.valset.values())[0][0],
+                                        is_train=False)
+        elif valset_num > 1:
+            valsets = [self._load_dataset(n, d, is_train=False)
+                       for n, dirs in args.valset.items() for d in dirs]
+            valset = nndata.JointDatasetsWrapper(valsets, [], ignore_unlabeled=True)
+        if valset is not None:
+            self.val_loader = _ValLoader(valset, max(1, n_dev), self.mesh,
+                                         getattr(args, 'ignore_index', 255))
+
+        if self.train_loader is None and not args.validation:
+            logger.log_err('Train data loader is required unless validation mode')
+        if self.val_loader is None and args.validation:
+            logger.log_err('Validation data loader is required in validation mode')
+        if self.val_loader is None:
+            logger.log_warn('No validation loader — skipping validation during training')
+
+        args.iters_per_epoch = len(self.train_loader) if self.train_loader is not None else -1
+
+        logger.log_info('Dataset: train labeled={0} unlabeled={1} val={2}'.format(
+            labeled_train_samples, unlabeled_train_samples,
+            len(valset) if valset is not None else 0))
+
+    def _make_train_put_fn(self, lbs, ubs, n_dev):
+        mesh = self.mesh
+
+        def put(np_batch):
+            inp, gt = np_batch
+            if ubs > 0 and n_dev > 1:
+                inp = tuple(parallel.reorder_two_stream(a, lbs, ubs, n_dev) for a in inp)
+                gt = tuple(parallel.reorder_two_stream(a, lbs, ubs, n_dev) for a in gt)
+            batch = {'inp': inp, 'gt': gt}
+            return parallel.shard_batch(batch, mesh)
+        return put
+
+    # ------------------------------------------------------------------
+
+    def _build_ssl_algorithm(self):
+        from .. import ssl_algorithm as ssl_registry
+        args = self.args
+
+        for cname in args.models.keys():
+            for mod, registry, kind in ((self.model, args.models, 'model'),
+                                        (self.criterion, args.criterions, 'criterion')):
+                if not hasattr(mod, registry[cname]):
+                    logger.log_err('Unknown task {0} `{1}` for component '
+                                   '`{2}`'.format(kind, registry[cname], cname))
+            self.model_dict[cname] = getattr(self.model, args.models[cname])()(args)
+            self.criterion_dict[cname] = getattr(self.criterion, args.criterions[cname])()(args)
+            self.lrer_dict[cname] = getattr(nnlrer, args.lrers[cname])(args)
+            self.optimizer_dict[cname] = getattr(nnoptimizer, args.optimizers[cname])(args)
+
+        task_func = self.func.task_func()(args)
+
+        n_dev = self.mesh.devices.size
+        lbs_local = args.labeled_batch_size // n_dev
+        ubs_local = args.unlabeled_batch_size // n_dev
+        example_inp = self._example_inp(lbs_local + ubs_local)
+
+        builder = ssl_registry.get_builder(args.ssl_algorithm)
+        self.ssl_algorithm = builder(
+            args, self.model_dict, self.optimizer_dict, self.lrer_dict,
+            self.criterion_dict, task_func,
+            mesh=self.mesh, lbs_local=lbs_local, ubs_local=ubs_local,
+            iters_per_epoch=max(1, args.iters_per_epoch or 1),
+            example_inp=example_inp)
+
+        if self.TASK_TYPE not in self.ssl_algorithm.SUPPORTED_TASK_TYPES:
+            logger.log_err('SSL algorithm {0} supports {1}, but task {2} is {3}'
+                           .format(self.ssl_algorithm.NAME,
+                                   self.ssl_algorithm.SUPPORTED_TASK_TYPES,
+                                   args.task, self.TASK_TYPE))
+
+        rng = jax.random.PRNGKey(args.seed)
+        self.ssl_algorithm.build(rng)
+        logger.log_info('SSL algorithm: {0}'.format(args.ssl_algorithm))
+
+    def _example_inp(self, local_batch):
+        """Zero arrays shaped like one local train batch, for model init."""
+        dataset = (self.train_loader.dataset if self.train_loader is not None
+                   else self.val_loader.dataset)
+        inp, _ = dataset[0]
+        return tuple(np.zeros((local_batch,) + np.asarray(a).shape,
+                              dtype=np.asarray(a).dtype) for a in inp)
+
+
+class _ValLoader(object):
+    """Sequential validation loader: fixed mesh-sized batches; the tail is
+    padded with copies whose GT is all-ignore so metrics count every sample
+    exactly once while shapes stay static for XLA."""
+
+    def __init__(self, dataset, batch_size, mesh, ignore_index=255):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.ignore_index = ignore_index
+
+    def __len__(self):
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    @staticmethod
+    def _pad_arr(arr, target_shape, fill):
+        arr = np.asarray(arr)
+        pads = [(0, t - s) for s, t in zip(arr.shape, target_shape)]
+        if not any(p[1] for p in pads):
+            return arr
+        return np.pad(arr, pads, mode='constant', constant_values=fill)
+
+    def _pad_samples(self, samples):
+        """Pad every sample to a common bucketed shape: inp arrays padded
+        with 0, gt arrays with ignore_index (ignored by loss & metrics), so
+        XLA sees few static shapes while every real pixel is scored."""
+        n_inp = len(samples[0][0])
+        n_gt = len(samples[0][1])
+        bucket = 32
+
+        def target(shapes):
+            mx = np.max(np.asarray(shapes), axis=0)
+            # bucket the spatial (leading two) dims only; channel-like
+            # trailing dims stay exact
+            out = []
+            for i, d in enumerate(mx):
+                if i < 2:
+                    out.append(int(-(-int(d) // bucket) * bucket))
+                else:
+                    out.append(int(d))
+            return tuple(out)
+
+        inp_targets = [target([s[0][i].shape for s in samples]) for i in range(n_inp)]
+        gt_targets = [target([s[1][i].shape for s in samples]) for i in range(n_gt)]
+        out = []
+        for inp, gt in samples:
+            inp = tuple(self._pad_arr(a, inp_targets[i], 0.0)
+                        for i, a in enumerate(inp))
+            gt = tuple(self._pad_arr(a, gt_targets[i], self.ignore_index)
+                       for i, a in enumerate(gt))
+            out.append((inp, gt))
+        return out
+
+    def __iter__(self):
+        n = len(self.dataset)
+        for start in range(0, n, self.batch_size):
+            idxs = list(range(start, min(start + self.batch_size, n)))
+            samples = [self.dataset[i] for i in idxs]
+            n_pad = self.batch_size - len(samples)
+            if n_pad:
+                pad_inp, pad_gt = samples[-1]
+                pad_gt = tuple(np.full_like(np.asarray(g), self.ignore_index)
+                               for g in pad_gt)
+                samples = samples + [(pad_inp, pad_gt)] * n_pad
+            samples = self._pad_samples(samples)
+            inp, gt = nnloader._stack_samples(samples)
+            batch = {'inp': inp, 'gt': gt,
+                     'valid': np.asarray([1.0] * len(idxs) + [0.0] * n_pad,
+                                         np.float32)}
+            yield parallel.shard_batch(batch, self.mesh)

@@ -1,0 +1,208 @@
+"""PASCAL VOC (SBD-augmented) data pipeline + synthetic dataset
+(reference: task/sseg/data.py:18-294).
+
+Transform semantics preserved: train = RandomScaleCrop(short edge scaled to
+U[0.5,2]·base_size, zero-pad, random crop im_size) + HFlip + ImageNet
+Normalize (data.py:223-256,187,99); val = optional FixedScaleResize short-edge
+rescale gated by --val-rescaling (data.py:259-294). Unlabeled train samples
+get a fake ``-1`` label map (data.py:104-105).
+
+TPU-first differences: outputs are NHWC numpy (image float32 [H,W,3], label
+int32 [H,W]); augmentation randomness is drawn from a seeded
+``np.random.Generator`` per access rather than the global ``random`` module.
+"""
+
+import itertools
+import os
+
+import numpy as np
+from PIL import Image, ImageOps
+
+from ...task_template import data_template
+from ...utils import logger
+
+VOC_MEAN = (0.485, 0.456, 0.406)
+VOC_STD = (0.229, 0.224, 0.225)
+
+
+def add_parser_arguments(parser):
+    data_template.add_parser_arguments(parser)
+    parser.add_argument('--val-rescaling', type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+                        default=False,
+                        help='sseg - rescale the short edge of val images to im_size')
+    parser.add_argument('--train-base-size', type=int, default=400,
+                        help='sseg - base size for random scale-crop during training')
+    parser.add_argument('--synthetic-samples', type=int, default=64,
+                        help='sseg - sample count of the synthetic dataset')
+
+
+def pascal_voc_aug():
+    return PascalVocAugDataset
+
+
+def pascal_voc_ori():
+    return PascalVocOriDataset
+
+
+def synthetic_sseg():
+    return SyntheticSsegDataset
+
+
+# ---------------------------------------------------------------------------
+# transforms (numpy/PIL, seeded)
+# ---------------------------------------------------------------------------
+
+def normalize_image(img):
+    img = np.asarray(img, dtype=np.float32) / 255.0
+    img = (img - np.asarray(VOC_MEAN, np.float32)) / np.asarray(VOC_STD, np.float32)
+    return img
+
+
+def random_scale_crop(rng, img, mask, base_size, crop_size, fill=0):
+    """Reference data.py:223-256 (mask padding fill=0, as upstream)."""
+    short_size = int(rng.integers(int(base_size * 0.5), int(base_size * 2.0) + 1))
+    w, h = img.size
+    if h > w:
+        ow = short_size
+        oh = int(1.0 * h * ow / w)
+    else:
+        oh = short_size
+        ow = int(1.0 * w * oh / h)
+    img = img.resize((ow, oh), Image.BILINEAR)
+    mask = mask.resize((ow, oh), Image.NEAREST)
+    if short_size < crop_size:
+        padh = crop_size - oh if oh < crop_size else 0
+        padw = crop_size - ow if ow < crop_size else 0
+        img = ImageOps.expand(img, border=(0, 0, padw, padh), fill=0)
+        mask = ImageOps.expand(mask, border=(0, 0, padw, padh), fill=fill)
+    w, h = img.size
+    x1 = int(rng.integers(0, w - crop_size + 1))
+    y1 = int(rng.integers(0, h - crop_size + 1))
+    img = img.crop((x1, y1, x1 + crop_size, y1 + crop_size))
+    mask = mask.crop((x1, y1, x1 + crop_size, y1 + crop_size))
+    return img, mask
+
+
+def fixed_scale_resize(img, mask, size):
+    """Reference data.py:259-294: short edge → size, zero-pad to ≥size."""
+    w, h = img.size
+    if w <= h:
+        ow = size
+        oh = int(h * ow / w)
+    else:
+        oh = size
+        ow = int(w * oh / h)
+    img = img.resize((ow, oh), Image.BILINEAR)
+    mask = mask.resize((ow, oh), Image.NEAREST)
+    pad_w, pad_h = max(size - ow, 0), max(size - oh, 0)
+    if pad_w or pad_h:
+        img = ImageOps.expand(img, border=(0, 0, pad_w, pad_h), fill=0)
+        mask = ImageOps.expand(mask, border=(0, 0, pad_w, pad_h), fill=0)
+    return img, mask
+
+
+# ---------------------------------------------------------------------------
+# PASCAL VOC
+# ---------------------------------------------------------------------------
+
+class PascalVocDataset(data_template.TaskDataset):
+    def __init__(self, args, is_train, train_prefix_path, val_prefix_path):
+        super(PascalVocDataset, self).__init__(args, is_train)
+        self.im_size = args.im_size
+        self.root_dir = (list(args.trainset.values())[0] if is_train
+                         else list(args.valset.values())[0])
+        if isinstance(self.root_dir, (list, tuple)):
+            self.root_dir = self.root_dir[0]
+
+        prefix_path = os.path.join(
+            self.root_dir, train_prefix_path if is_train else val_prefix_path)
+        self.image_dir = os.path.join(self.root_dir, 'JPEGImages')
+        self.label_dir = os.path.join(self.root_dir, 'SegmentationClassAug')
+
+        if not os.path.exists(prefix_path):
+            logger.log_err('Cannot find prefix file: {0}'.format(prefix_path))
+        with open(prefix_path) as f:
+            lines = [l.strip() for l in f.read().splitlines() if l.strip()]
+        for line in lines:
+            if not os.path.isfile(os.path.join(self.image_dir, line + '.jpg')):
+                logger.log_err('Cannot find image: {0}.jpg'.format(line))
+            self.sample_list.append(line)
+        self.idxs = list(range(len(self.sample_list)))
+
+        self._seed = getattr(args, 'seed', 0) or 0
+        self._counter = itertools.count()
+
+    def __getitem__(self, idx):
+        name = self.sample_list[idx]
+        image = Image.open(os.path.join(self.image_dir, name + '.jpg')).convert('RGB')
+        label_path = os.path.join(self.label_dir, name + '.png')
+        has_label = os.path.exists(label_path) and not self.is_unlabeled(idx)
+        label = Image.open(label_path) if os.path.exists(label_path) else None
+
+        if self.is_train:
+            rng = np.random.default_rng((self._seed, idx, next(self._counter)))
+            lbl = label if label is not None else image.convert('L')
+            image, lbl = random_scale_crop(rng, image, lbl,
+                                           self.args.train_base_size, self.im_size)
+            if rng.random() < 0.5:
+                image = image.transpose(Image.FLIP_LEFT_RIGHT)
+                lbl = lbl.transpose(Image.FLIP_LEFT_RIGHT)
+            img = normalize_image(image)
+            if has_label:
+                gt = np.asarray(lbl, dtype=np.int32)
+            else:
+                # fake label for unlabeled samples (reference data.py:104-105)
+                gt = np.full(img.shape[:2], -1, dtype=np.int32)
+            return (img,), (gt,)
+
+        if label is None:
+            logger.log_err('Val sample must have a label: {0}'.format(label_path))
+        if self.args.val_rescaling:
+            image, label = fixed_scale_resize(image, label, self.im_size)
+        img = normalize_image(image)
+        gt = np.asarray(label, dtype=np.int32)
+        return (img,), (gt,)
+
+
+class PascalVocAugDataset(PascalVocDataset):
+    def __init__(self, args, is_train):
+        super(PascalVocAugDataset, self).__init__(
+            args, is_train,
+            'ImageSets/Segmentation/train_aug.txt',
+            'ImageSets/Segmentation/val.txt')
+
+
+class PascalVocOriDataset(PascalVocDataset):
+    def __init__(self, args, is_train):
+        super(PascalVocOriDataset, self).__init__(
+            args, is_train,
+            'ImageSets/Segmentation/train.txt',
+            'ImageSets/Segmentation/val.txt')
+
+
+# ---------------------------------------------------------------------------
+# Synthetic dataset (tests / benchmarks — no VOC download needed)
+# ---------------------------------------------------------------------------
+
+class SyntheticSsegDataset(data_template.TaskDataset):
+    """Deterministic random images + blocky labels at im_size."""
+
+    def __init__(self, args, is_train):
+        super(SyntheticSsegDataset, self).__init__(args, is_train)
+        n = args.synthetic_samples
+        self.sample_list = ['synthetic_{0:05d}'.format(i) for i in range(n)]
+        self.idxs = list(range(n))
+        self.im_size = args.im_size or 64
+        self.num_classes = args.num_classes
+        self._seed = getattr(args, 'seed', 0) or 0
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng((self._seed, 7919, idx))
+        s = self.im_size
+        img = rng.standard_normal((s, s, 3)).astype(np.float32)
+        # blocky labels so the loss is learnable
+        coarse = rng.integers(0, self.num_classes, (max(1, s // 8),) * 2)
+        gt = np.kron(coarse, np.ones((8, 8), dtype=np.int64))[:s, :s].astype(np.int32)
+        if self.is_unlabeled(idx):
+            gt = np.full_like(gt, -1)
+        return (img,), (gt,)

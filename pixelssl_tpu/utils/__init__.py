@@ -1,0 +1,5 @@
+from .constant import REGRESSION, CLASSIFICATION
+from .logger import (log_mode, log_file, log_info, log_debug, log_warn,
+                     log_err, FatalError, AvgMeter, AvgMeterSet)
+from .tool import dict_value
+from . import cmd
