@@ -137,8 +137,16 @@ class TwoStreamBatchSampler(object):
         self.unlabeled_batch_size = unlabeled_batch_size
         self._rng = np.random.default_rng(seed)
 
-        assert len(self.labeled_idxs) >= self.labeled_batch_size > 0
-        assert len(self.unlabeled_idxs) >= self.unlabeled_batch_size > 0
+        if not len(self.labeled_idxs) >= self.labeled_batch_size > 0:
+            from ..utils import logger
+            logger.log_err('TwoStreamBatchSampler requires 0 < '
+                           'labeled_batch_size ({0}) <= labeled samples ({1})'
+                           .format(self.labeled_batch_size, len(self.labeled_idxs)))
+        if not len(self.unlabeled_idxs) >= self.unlabeled_batch_size > 0:
+            from ..utils import logger
+            logger.log_err('TwoStreamBatchSampler requires 0 < '
+                           'unlabeled_batch_size ({0}) <= unlabeled samples ({1})'
+                           .format(self.unlabeled_batch_size, len(self.unlabeled_idxs)))
 
         self.labeled_batchs = len(self.labeled_idxs) // self.labeled_batch_size
         self.unlabeled_batchs = len(self.unlabeled_idxs) // self.unlabeled_batch_size

@@ -75,3 +75,59 @@ def test_dryrun_multichip_entry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_ssl_adv_step():
+    _run_steps('ssl_adv', adv_for_labeled=True, labeled_adv_scale=0.01,
+               unlabeled_adv_scale=0.001, unlabeled_for_discriminator=True)
+
+
+def test_ssl_s4l_step():
+    algo, state, metrics = _run_steps(
+        'ssl_s4l', rotated_sup_scale=0.5, rotation_scale=1.0)
+    assert 0.0 <= metrics['rotation_acc'] <= 100.0
+
+
+def test_s4l_rotation_matches_reference_recipe():
+    """rotate_batch must reproduce torch transpose/flip recipes
+    (reference ssl_s4l.py:352-360)."""
+    torch = pytest.importorskip('torch')
+    from pixelssl_tpu.ssl_algorithm.ssl_s4l import rotate_batch
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 6, 6, 2)).astype(np.float32)  # NHWC
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+
+    def torch_rot(t, angle_idx):
+        if angle_idx == 1:
+            return t.transpose(1, 2).flip(2)
+        if angle_idx == 2:
+            return t.flip(2).flip(1)
+        if angle_idx == 3:
+            return t.transpose(1, 2).flip(1)
+        return t
+
+    import jax.numpy as jnp
+    for angle in range(4):
+        ours = np.asarray(rotate_batch(jnp.asarray(x),
+                                       jnp.full((3,), angle, jnp.int32)))
+        theirs = np.stack([torch_rot(xt[i], angle).numpy() for i in range(3)])
+        theirs = np.transpose(theirs, (0, 2, 3, 1))
+        np.testing.assert_allclose(ours, theirs, atol=0,
+                                   err_msg='angle={0}'.format(angle))
+
+
+def test_ssl_gct_step():
+    algo, state, metrics = _run_steps(
+        'ssl_gct', im_size=64, ssl_mode='gct', fc_ssl_scale=1.0,
+        dc_ssl_scale=1.0, dc_threshold=0.4, dc_rampup_epochs=1,
+        mu=0.5, nu=1, fd_scale=1.0)
+    for k in ('l_task_loss', 'r_task_loss', 'l_fd_loss', 'r_fd_loss'):
+        assert k in metrics
+
+
+def test_ssl_cct_step():
+    algo, state, metrics = _run_steps(
+        'ssl_cct', im_size=64, cons_scale=1.0, cons_rampup_epochs=1,
+        ad_lr_scale=10.0, vat_dec_num=1, drop_dec_num=1, cut_dec_num=1,
+        context_dec_num=1, object_dec_num=1, fd_dec_num=1, fn_dec_num=1)
+    assert metrics['cons_loss'] >= 0

@@ -1,0 +1,95 @@
+"""torch→JAX weight conversion: numerics must match a torch reference
+forward through a small dilated bottleneck stack."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax
+import jax.numpy as jnp
+
+from pixelssl_tpu.models.convert import convert_resnet_backbone
+from pixelssl_tpu.models.resnet import ResNet
+
+
+def _build_torch_resnet10():
+    """Torch twin of models.resnet.resnet10 (output_stride=16)."""
+    import torch.nn as nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, inplanes, planes, stride=1, dilation=1,
+                     downsample=False):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                                   dilation=dilation, padding=dilation,
+                                   bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU()
+            self.downsample = None
+            if downsample:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(inplanes, planes * 4, 1, stride=stride,
+                              bias=False),
+                    nn.BatchNorm2d(planes * 4))
+
+        def forward(self, x):
+            r = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return self.relu(out + r)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU()
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            strides, dils = (1, 2, 2, 1), (1, 1, 1, 2)
+            self.layer1 = nn.Sequential(Bottleneck(64, 64, strides[0], dils[0], True))
+            self.layer2 = nn.Sequential(Bottleneck(256, 128, strides[1], dils[1], True))
+            self.layer3 = nn.Sequential(Bottleneck(512, 256, strides[2], dils[2], True))
+            # multi-grid [1,2,4] → 3 blocks at dilation 2*grid
+            self.layer4 = nn.Sequential(
+                Bottleneck(1024, 512, strides[3], 1 * dils[3], True),
+                Bottleneck(2048, 512, 1, 2 * dils[3], False),
+                Bottleneck(2048, 512, 1, 4 * dils[3], False))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+    return Net()
+
+
+def test_converted_backbone_matches_torch_forward():
+    torch.manual_seed(0)
+    tnet = _build_torch_resnet10().eval()
+    # randomize BN running stats so eval-mode normalization is non-trivial
+    for m in tnet.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+    # our net uses multi-grid layer4 with 3 blocks — layers=(1,1,1) + grid
+    jnet = ResNet(layers=(1, 1, 1, 3), output_stride=16)
+    x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    variables = jnet.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+
+    torch_state = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params, batch_stats, n = convert_resnet_backbone(
+        torch_state, variables['params'], variables['batch_stats'])
+    assert n > 60  # all tensors matched
+
+    ours = jnet.apply({'params': params, 'batch_stats': batch_stats},
+                      jnp.asarray(x), train=False)
+    with torch.no_grad():
+        theirs = tnet(torch.from_numpy(x).permute(0, 3, 1, 2))
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4)
