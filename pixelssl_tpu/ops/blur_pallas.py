@@ -1,0 +1,95 @@
+"""Pallas TPU kernel: fused separable Gaussian blur as two MXU matmuls.
+
+GCT's flawmap pipelines chain many large-kernel Gaussian blurs over
+[B,1,H,W] maps (reference ssl_gct.py:641-657,714-728 — k = im/16, im/8,
+im/4, up to 129 taps at im 513). Lowering each as a depthwise convolution
+makes XLA run wide 1-D convs on the VPU with an HBM round-trip between the
+H and W passes. This kernel instead:
+
+* precomputes banded blur matrices ``Bh [H,H]`` / ``Bw [W,W]`` that fold in
+  the reflect padding and the reference's scipy-exact kernel
+  (nn/module/gaussian_blur.gaussian_kernel_1d);
+* per batch element, computes ``Bh @ X @ Bw^T`` entirely in VMEM — two
+  128x128-tiled MXU matmuls, one HBM read + one write per map.
+
+For H=W=513 fp32, a map is ~1 MB and each blur matrix ~1 MB: everything
+fits VMEM comfortably. Falls back to the XLA einsum formulation on
+non-TPU backends (identical math).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.module.gaussian_blur import gaussian_kernel_1d
+
+
+@functools.lru_cache(maxsize=None)
+def _blur_matrix(size, kernel_size):
+    """[size, size] matrix equivalent to reflect-pad + 1-D blur."""
+    g = gaussian_kernel_1d(kernel_size)
+    k = kernel_size
+    half = k // 2
+    m = np.zeros((size, size), dtype=np.float32)
+    for i in range(size):
+        for t in range(k):
+            j = i - half + t
+            # reflect boundary of jnp.pad(mode='reflect'): -1 → 1, size → size-2
+            while j < 0 or j >= size:
+                if j < 0:
+                    j = -j
+                if j >= size:
+                    j = 2 * (size - 1) - j
+            m[i, j] += g[t]
+    return m
+
+
+def _blur_kernel(x_ref, bh_ref, bw_ref, out_ref):
+    x = x_ref[0]  # [H, W]
+    y = jnp.dot(bh_ref[:], x, preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.dot(y, bw_ref[:].T, preferred_element_type=jnp.float32)
+
+
+def gaussian_blur_fused(x, kernel_size, use_pallas=None):
+    """Blur [N,H,W,1] maps with the reference kernel; one fused pass.
+
+    ``use_pallas=None`` → pallas on TPU, einsum elsewhere.
+    """
+    n, h, w, c = x.shape
+    assert c == 1, 'fused blur is specialized for single-channel maps'
+    dtype = x.dtype
+    xf = x[..., 0].astype(jnp.float32)
+    bh = jnp.asarray(_blur_matrix(h, int(kernel_size)))
+    bw = jnp.asarray(_blur_matrix(w, int(kernel_size)))
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+
+    if use_pallas:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        out = pl.pallas_call(
+            _blur_kernel,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, h), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * (h * h * w + h * w * w),
+                bytes_accessed=4 * n * h * w * 2 + 4 * (h * h + w * w),
+                transcendentals=0),
+        )(xf, bh, bw)
+    else:
+        out = jnp.einsum('hk,nkw->nhw', bh, xf)
+        out = jnp.einsum('nhw,wk->nhk', out, bw.T)
+    return out[..., None].astype(dtype)

@@ -120,6 +120,36 @@ def parallel_step(step_fn, mesh, axis_name=DATA_AXIS, donate_state=True):
     return jax.jit(mapped, donate_argnums=donate)
 
 
+def parallel_multi_step(step_fn, mesh, n_steps, axis_name=DATA_AXIS,
+                        donate_state=True):
+    """Fuse ``n_steps`` train steps into one dispatch with ``lax.scan``.
+
+    The batch argument carries a leading scan axis: every leaf is
+    [n_steps, global_batch, ...]. One host→device dispatch then runs
+    n_steps full iterations back-to-back on device — the standard TPU
+    technique for hiding host/dispatch latency (the reference pays ≥1
+    Python dispatch plus DataParallel scatter/gather per iteration).
+    Returns (state, last_step_metrics).
+    """
+    import jax as _jax
+
+    def scanned(state, batches):
+        def body(s, b):
+            s2, m = step_fn(s, b)
+            return s2, m
+        state, metrics = _jax.lax.scan(body, state, batches)
+        last = _jax.tree.map(lambda x: x[-1], metrics)
+        return state, last
+
+    mapped = shard_map(
+        scanned, mesh=mesh,
+        in_specs=(P(), P(None, axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    donate = (0,) if donate_state else ()
+    return jax.jit(mapped, donate_argnums=donate)
+
+
 def parallel_eval_step(step_fn, mesh, axis_name=DATA_AXIS):
     """Same for ``eval_fn(state, batch) -> outputs`` (outputs sharded)."""
     mapped = shard_map(

@@ -98,6 +98,12 @@ class SSLBase(object):
         self.state = parallel.replicate(state, self.ctx.mesh)
         self._train_step = parallel.parallel_step(
             self._step_fn, self.ctx.mesh, self.ctx.axis_name)
+        self._steps_per_dispatch = max(
+            1, getattr(self.args, 'steps_per_dispatch', 1) or 1)
+        if self._steps_per_dispatch > 1:
+            self._multi_step = parallel.parallel_multi_step(
+                self._step_fn, self.ctx.mesh, self._steps_per_dispatch,
+                self.ctx.axis_name)
         self._eval_step = self._make_eval_step()
         return self.state
 
@@ -150,6 +156,8 @@ class SSLBase(object):
     # ------------------------------------------------------------------
 
     def train(self, data_loader, epoch):
+        if self._steps_per_dispatch > 1:
+            return self._train_multi(data_loader, epoch)
         self.meters.reset()
         args = self.args
         n_batches = len(data_loader)
@@ -157,6 +165,21 @@ class SSLBase(object):
         for idx, batch in enumerate(data_loader):
             data_time = time.time() - t0
             self.state, metrics = self._train_step(self.state, batch)
+            if (getattr(args, 'visualize', False) and
+                    getattr(args, 'visual_train_path', '') and
+                    idx % max(1, args.visual_freq) == 0):
+                # extra eval forward only at visual_freq cadence
+                # (reference visualizes from the train forward itself,
+                # e.g. ssl_null.py:224-229)
+                outputs = self._eval_step(self.state, batch)
+                for model_id, (activated_pred, _) in outputs.items():
+                    out = os.path.join(args.visual_train_path,
+                                       '{0}_{1}'.format(epoch, idx))
+                    self.ctx.task_func.visualize(
+                        out, id_str=model_id,
+                        inp=tuple(a[:1] for a in batch['inp']),
+                        pred=tuple(a[:1] for a in activated_pred),
+                        gt=tuple(a[:1] for a in batch['gt']))
             if (idx + 1) % args.log_freq == 0 or idx == n_batches - 1:
                 # device sync only at log boundaries — keeps the step
                 # pipeline free of per-iteration host round-trips
@@ -170,6 +193,53 @@ class SSLBase(object):
                         '  '.join('{0}: {1:.5f}'.format(k, float(np.asarray(v)))
                                   for k, v in sorted(metrics.items()))))
                 t0 = time.time()
+        return self.meters
+
+    def _train_multi(self, data_loader, epoch):
+        """Multi-step dispatch path: lax.scan over --steps-per-dispatch
+        batches per device round-trip."""
+        self.meters.reset()
+        args = self.args
+        n = self._steps_per_dispatch
+        n_batches = len(data_loader)
+        chunk = []
+        done = 0
+        t0 = time.time()
+        for batch in data_loader:
+            chunk.append(batch)
+            if len(chunk) < n:
+                continue
+            last_batch = chunk[-1]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
+            self.state, metrics = self._multi_step(self.state, stacked)
+            done += len(chunk)
+            chunk = []
+            if (getattr(args, 'visualize', False) and
+                    getattr(args, 'visual_train_path', '') and
+                    done % max(1, args.visual_freq) < n):
+                outputs = self._eval_step(self.state, last_batch)
+                for model_id, (activated_pred, _) in outputs.items():
+                    out = os.path.join(args.visual_train_path,
+                                       '{0}_{1}'.format(epoch, done))
+                    self.ctx.task_func.visualize(
+                        out, id_str=model_id,
+                        inp=tuple(a[:1] for a in last_batch['inp']),
+                        pred=tuple(a[:1] for a in activated_pred),
+                        gt=tuple(a[:1] for a in last_batch['gt']))
+            if done % max(args.log_freq, n) < n or done >= n_batches:
+                metrics = jax.device_get(metrics)
+                self.meters.update_dict(
+                    {k: float(np.asarray(v)) for k, v in metrics.items()})
+                logger.log_info(
+                    'epoch {0:>3} iter {1:>5}/{2:<5} {3}'.format(
+                        epoch, done, n_batches,
+                        '  '.join('{0}: {1:.5f}'.format(k, float(np.asarray(v)))
+                                  for k, v in sorted(metrics.items()))))
+        # leftover batches (< n): single-step path
+        for batch in chunk:
+            self.state, metrics = self._train_step(self.state, batch)
+            done += 1
+        self.meters.update('batch_time', (time.time() - t0) / max(1, done))
         return self.meters
 
     def validate(self, data_loader, epoch):
@@ -190,6 +260,16 @@ class SSLBase(object):
                 self.meters.update('{0}_loss'.format(model_id), loss)
                 task_func.metrics(activated_pred, batch['gt'], batch['inp'],
                                   self.meters, id_str=model_id)
+                if (getattr(self.args, 'visualize', False) and
+                        getattr(self.args, 'visual_val_path', '') and
+                        idx % max(1, self.args.visual_freq) == 0):
+                    import os
+                    out = os.path.join(self.args.visual_val_path,
+                                       '{0}_{1}'.format(epoch, idx))
+                    task_func.visualize(out, id_str=model_id,
+                                        inp=tuple(a[:1] for a in batch['inp']),
+                                        pred=tuple(a[:1] for a in activated_pred),
+                                        gt=tuple(a[:1] for a in batch['gt']))
         results = {}
         for key, meter in self.meters.items():
             if METRIC_STR in key:

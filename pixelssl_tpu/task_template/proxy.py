@@ -48,6 +48,9 @@ def add_parser_arguments(parser):
     parser.add_argument('--visual-freq', type=int, default=100, metavar='', help='exp - visualization frequency [iteration]')
     parser.add_argument('--checkpoint-freq', type=int, default=1, metavar='', help='exp - checkpoint frequency [epoch]')
     parser.add_argument('--seed', type=int, default=0, metavar='', help='exp - global random seed (TPU build addition)')
+    parser.add_argument('--steps-per-dispatch', type=int, default=1, metavar='',
+                        help='exp - train steps fused per device dispatch via '
+                             'lax.scan (TPU build addition; hides host latency)')
 
     # dataset / dataloader arguments
     parser.add_argument('--trainset', type=yaml.full_load, default={}, metavar='', help='data - {dataset_type: [paths]}')

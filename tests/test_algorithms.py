@@ -131,3 +131,43 @@ def test_ssl_cct_step():
         ad_lr_scale=10.0, vat_dec_num=1, drop_dec_num=1, cut_dec_num=1,
         context_dec_num=1, object_dec_num=1, fd_dec_num=1, fn_dec_num=1)
     assert metrics['cons_loss'] >= 0
+
+
+def test_multi_step_dispatch_matches_single_step():
+    """n steps via the fused lax.scan dispatch must equal n single-step
+    dispatches (same RNG schedule, same BN chaining)."""
+    import jax.numpy as jnp
+    from pixelssl_tpu import parallel
+
+    mesh = parallel.make_mesh()
+    n = mesh.devices.size
+    # fp32 + small lr: keeps losses tame so fp-reassociation between the
+    # scanned and straight-line compiles stays below the tolerance
+    args = harness.default_args(
+        'ssl_mt', backbone='resnet10', im_size=32, num_classes=5,
+        batch_size=2 * n, unlabeled_batch_size=1 * n, ignore_unlabeled=False,
+        cons_scale=1.0, cons_rampup_epochs=1, ema_decay=0.99,
+        lr=1e-4, momentum=0.9, epochs=1, bf16=False)
+    algo = harness.build_algorithm(args, mesh=mesh)
+    b0 = harness.synthetic_batch(args, mesh, seed=0)
+    b1 = harness.synthetic_batch(args, mesh, seed=1)
+
+    # path A: two single-step dispatches
+    sA = algo.state
+    sA, _ = algo._train_step(sA, b0)
+    sA, mA = algo._train_step(sA, b1)
+
+    # path B: one fused dispatch over both batches
+    algo2 = harness.build_algorithm(args, mesh=mesh)
+    multi = parallel.parallel_multi_step(algo2._step_fn, mesh, 2)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), b0, b1)
+    sB, mB = multi(algo2.state, stacked)
+
+    pa = jax.tree.leaves(sA['model']['params'])
+    pb = jax.tree.leaves(sB['model']['params'])
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    assert float(np.asarray(mA['s_task_loss'])) == pytest.approx(
+        float(np.asarray(mB['s_task_loss'])), rel=1e-4)
+    assert int(np.asarray(sB['step'])) == 2

@@ -108,3 +108,13 @@ def test_pixel_shuffle_matches_torch():
     theirs = torch.pixel_shuffle(torch.from_numpy(x).permute(0, 3, 1, 2), 2)
     theirs = theirs.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_fused_blur_matches_conv_blur():
+    from pixelssl_tpu.ops.blur_pallas import gaussian_blur_fused
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 33, 33, 1)).astype(np.float32))
+    for k in (5, 9):
+        a = np.asarray(gaussian_blur(x, k))
+        b = np.asarray(gaussian_blur_fused(x, k, use_pallas=False))
+        np.testing.assert_allclose(a, b, atol=1e-4)
