@@ -169,3 +169,148 @@ def load_pretrained_backbone(variables, pth_path, backbone_path=('net', 'backbon
     variables['params'] = params
     variables['batch_stats'] = batch_stats
     return variables
+
+
+# ---------------------------------------------------------------------------
+# Full-model converters (reference published checkpoints:
+# task/sseg/README.md download table; state dicts of task/sseg/model.py
+# wrappers whose inner module is `model.`)
+# ---------------------------------------------------------------------------
+
+def _strip_prefix(state, prefix):
+    out = {}
+    for k, v in state.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def _assign_leaf(tree, path, value, stats):
+    node = tree
+    for p in path[:-1]:
+        if p not in node:
+            stats[1] += 1
+            return
+        node = node[p]
+    leaf = path[-1]
+    if leaf in node and node[leaf].shape == value.shape:
+        node[leaf] = value.astype(node[leaf].dtype)
+        stats[0] += 1
+    else:
+        stats[1] += 1
+
+
+def _conv_w(v):
+    return np.transpose(v, (2, 3, 1, 0))  # OIHW → HWIO
+
+
+def _convert_bn(params, batch_stats, path, prefix, torch_state, stats):
+    for tleaf, tree, jleaf in (('weight', params, 'scale'),
+                               ('bias', params, 'bias'),
+                               ('running_mean', batch_stats, 'mean'),
+                               ('running_var', batch_stats, 'var')):
+        key = prefix + '.' + tleaf
+        if key in torch_state:
+            _assign_leaf(tree, path + (jleaf,), torch_state[key], stats)
+
+
+def convert_deeplab_v2(torch_state, variables):
+    """Map a torch DeepLabV2 state dict (task/sseg/module/deeplab_v2.py
+    layout: backbone.* + classifier.conv2d_list.{i}.*) onto the flax
+    DeepLabV2 variables ({'net': {'backbone_net', 'classifier'}} under the
+    sseg wrapper, or top-level when converting the bare module)."""
+    import jax
+    variables = jax.tree.map(np.asarray, dict(variables))
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    root_p = params['net'] if 'net' in params else params
+    root_s = batch_stats.get('net', batch_stats)
+
+    if any(k.startswith('model.') for k in torch_state):
+        torch_state = _strip_prefix(torch_state, 'model.')
+
+    bb_state = _strip_prefix(torch_state, 'backbone.')
+    bb_p, bb_s, n = convert_resnet_backbone(
+        bb_state, root_p['backbone_net'], root_s['backbone_net'])
+    root_p['backbone_net'] = bb_p
+    root_s['backbone_net'] = bb_s
+
+    stats = [n, 0]
+    for k, v in _strip_prefix(torch_state, 'classifier.').items():
+        m = re.match(r'conv2d_list\.(\d+)\.(weight|bias)', k)
+        if not m:
+            stats[1] += 1
+            continue
+        name = 'conv2d_list_{0}'.format(m.group(1))
+        if m.group(2) == 'weight':
+            _assign_leaf(root_p['classifier'], (name, 'kernel'), _conv_w(v), stats)
+        else:
+            _assign_leaf(root_p['classifier'], (name, 'bias'), v, stats)
+
+    logger.log_info('convert_deeplab_v2: copied {0}, skipped {1}'.format(*stats))
+    variables['params'] = params
+    variables['batch_stats'] = batch_stats
+    return variables
+
+
+def convert_pspnet(torch_state, variables):
+    """Map a torch _PSPNet state dict (task/sseg/module/_pspnet.py layout:
+    backbone.* + psp.stages.{i}.{1,2}.* + psp.bottleneck.{0,1}.* +
+    decoder.{0|k.conv}.*) onto the flax PSPNet variables."""
+    import jax
+    variables = jax.tree.map(np.asarray, dict(variables))
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    root_p = params['net'] if 'net' in params else params
+    root_s = batch_stats.get('net', batch_stats)
+
+    if any(k.startswith('model.') for k in torch_state):
+        torch_state = _strip_prefix(torch_state, 'model.')
+
+    bb_state = _strip_prefix(torch_state, 'backbone.')
+    bb_p, bb_s, n = convert_resnet_backbone(
+        bb_state, root_p['backbone_net'], root_s['backbone_net'])
+    root_p['backbone_net'] = bb_p
+    root_s['backbone_net'] = bb_s
+    stats = [n, 0]
+
+    psp = _strip_prefix(torch_state, 'psp.')
+    for k, v in psp.items():
+        m = re.match(r'stages\.(\d+)\.1\.weight', k)
+        if m:
+            _assign_leaf(root_p['psp'],
+                         ('stages_{0}_conv'.format(m.group(1)), 'kernel'),
+                         _conv_w(v), stats)
+            continue
+        m = re.match(r'stages\.(\d+)\.2\.(.+)', k)
+        if m:
+            _convert_bn(root_p['psp'], root_s['psp'],
+                        ('stages_{0}_bn'.format(m.group(1)),),
+                        'stages.{0}.2'.format(m.group(1)), psp, stats)
+            continue
+    if 'bottleneck.0.weight' in psp:
+        _assign_leaf(root_p['psp'], ('bottleneck_conv', 'kernel'),
+                     _conv_w(psp['bottleneck.0.weight']), stats)
+    _convert_bn(root_p['psp'], root_s['psp'], ('bottleneck_bn',),
+                'bottleneck.1', psp, stats)
+
+    dec = _strip_prefix(torch_state, 'decoder.')
+    if '0.weight' in dec:
+        _assign_leaf(root_p['decoder'], ('conv1x1', 'kernel'),
+                     _conv_w(dec['0.weight']), stats)
+    for i in range(3):
+        key_w = '{0}.conv.weight'.format(i + 1)
+        key_b = '{0}.conv.bias'.format(i + 1)
+        if key_w in dec:
+            _assign_leaf(root_p['decoder'],
+                         ('shuffle_{0}'.format(i), 'conv', 'kernel'),
+                         _conv_w(dec[key_w]), stats)
+        if key_b in dec:
+            _assign_leaf(root_p['decoder'],
+                         ('shuffle_{0}'.format(i), 'conv', 'bias'),
+                         dec[key_b], stats)
+
+    logger.log_info('convert_pspnet: copied {0}, skipped {1}'.format(*stats))
+    variables['params'] = params
+    variables['batch_stats'] = batch_stats
+    return variables

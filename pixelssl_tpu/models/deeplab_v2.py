@@ -48,10 +48,12 @@ class DeepLabV2(nn.Module):
     num_classes: int = 21
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         self.backbone_net = build_backbone(self.backbone, self.output_stride,
-                                           self.bn_axis_name, self.dtype)
+                                           self.bn_axis_name, self.dtype,
+                                           remat=self.remat)
         self.classifier = ASPPClassifier(num_classes=self.num_classes,
                                          dtype=self.dtype)
 

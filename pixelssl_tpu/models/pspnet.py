@@ -92,10 +92,12 @@ class PSPNet(nn.Module):
     num_classes: int = 21
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         self.backbone_net = build_backbone(self.backbone, self.output_stride,
-                                           self.bn_axis_name, self.dtype)
+                                           self.bn_axis_name, self.dtype,
+                                           remat=self.remat)
         self.psp = PSPModule(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
         self.decoder = UpsampleDecoder(out_channels=self.num_classes,
                                        upscale=8, dtype=self.dtype)

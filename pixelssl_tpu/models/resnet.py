@@ -66,12 +66,18 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Dilated multi-grid ResNet trunk returning the layer4 feature map."""
+    """Dilated multi-grid ResNet trunk returning the layer4 feature map.
+
+    ``remat=True`` wraps every bottleneck in jax.checkpoint — activations
+    are rematerialized in the backward pass, trading ~30% FLOPs for the
+    HBM needed to scale batch/resolution (SURVEY.md TPU design notes).
+    """
     layers: Sequence[int]  # blocks per stage, e.g. (3, 4, 23, 3)
     output_stride: int = 16
     multi_grid: Sequence[int] = (1, 2, 4)
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -82,6 +88,10 @@ class ResNet(nn.Module):
         else:
             raise NotImplementedError(
                 'output_stride must be 8 or 16, got {0}'.format(self.output_stride))
+
+        # static_argnums=(2,): `train` is a Python bool, not a traced value
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, kernel_init=conv_init, dtype=self.dtype,
@@ -96,7 +106,7 @@ class ResNet(nn.Module):
             for b in range(n_blocks):
                 stride = strides[stage] if b == 0 else 1
                 has_ds = b == 0 and (stride != 1 or inplanes != planes * 4)
-                x = Bottleneck(planes=planes, stride=stride,
+                x = block_cls(planes=planes, stride=stride,
                                dilation=dilations[stage], has_downsample=has_ds,
                                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                                name='layer{0}_{1}'.format(stage + 1, b))(x, train)
@@ -107,7 +117,7 @@ class ResNet(nn.Module):
         for b, grid in enumerate(self.multi_grid):
             stride = strides[3] if b == 0 else 1
             has_ds = b == 0 and (stride != 1 or inplanes != planes * 4)
-            x = Bottleneck(planes=planes, stride=stride,
+            x = block_cls(planes=planes, stride=stride,
                            dilation=grid * dilations[3], has_downsample=has_ds,
                            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                            name='layer4_{0}'.format(b))(x, train)
@@ -116,29 +126,30 @@ class ResNet(nn.Module):
         return x
 
 
-def resnet50(output_stride, bn_axis_name=None, dtype=jnp.float32):
+def resnet50(output_stride, bn_axis_name=None, dtype=jnp.float32, remat=False):
     return ResNet(layers=(3, 4, 6, 3), output_stride=output_stride,
-                  bn_axis_name=bn_axis_name, dtype=dtype)
+                  bn_axis_name=bn_axis_name, dtype=dtype, remat=remat)
 
 
-def resnet101(output_stride, bn_axis_name=None, dtype=jnp.float32):
+def resnet101(output_stride, bn_axis_name=None, dtype=jnp.float32, remat=False):
     return ResNet(layers=(3, 4, 23, 3), output_stride=output_stride,
-                  bn_axis_name=bn_axis_name, dtype=dtype)
+                  bn_axis_name=bn_axis_name, dtype=dtype, remat=remat)
 
 
-def resnet10(output_stride, bn_axis_name=None, dtype=jnp.float32):
+def resnet10(output_stride, bn_axis_name=None, dtype=jnp.float32, remat=False):
     """Tiny 1-block-per-stage variant for tests and sharding dry-runs
     (no reference analog — the topology matches ResNet-50/101)."""
     return ResNet(layers=(1, 1, 1, 1), output_stride=output_stride,
-                  bn_axis_name=bn_axis_name, dtype=dtype)
+                  bn_axis_name=bn_axis_name, dtype=dtype, remat=remat)
 
 
-def build_backbone(name, output_stride, bn_axis_name=None, dtype=jnp.float32):
+def build_backbone(name, output_stride, bn_axis_name=None, dtype=jnp.float32,
+                   remat=False):
     name = name.split('-')[0]  # 'resnet101-coco' → 'resnet101'
     if name == 'resnet10':
-        return resnet10(output_stride, bn_axis_name, dtype)
+        return resnet10(output_stride, bn_axis_name, dtype, remat)
     if name == 'resnet50':
-        return resnet50(output_stride, bn_axis_name, dtype)
+        return resnet50(output_stride, bn_axis_name, dtype, remat)
     if name == 'resnet101':
-        return resnet101(output_stride, bn_axis_name, dtype)
+        return resnet101(output_stride, bn_axis_name, dtype, remat)
     raise ValueError('Unsupported backbone: {0}'.format(name))

@@ -52,10 +52,14 @@ def _blur_kernel(x_ref, bh_ref, bw_ref, out_ref):
     out_ref[0] = jnp.dot(y, bw_ref[:].T, preferred_element_type=jnp.float32)
 
 
-def gaussian_blur_fused(x, kernel_size, use_pallas=None):
+def gaussian_blur_fused(x, kernel_size, use_pallas=False):
     """Blur [N,H,W,1] maps with the reference kernel; one fused pass.
 
-    ``use_pallas=None`` → pallas on TPU, einsum elsewhere.
+    Measured on v5e via the axon tunnel, the XLA conv lowering of
+    nn/module/gaussian_blur beats this kernel at im=321 (0.03 s vs 0.44 s
+    per call incl. dispatch), so the pallas path is opt-in; the einsum
+    formulation here is the portable fused fallback. Revisit if profiling
+    on direct-attached hardware shows the HBM round-trip dominating.
     """
     n, h, w, c = x.shape
     assert c == 1, 'fused blur is specialized for single-channel maps'

@@ -40,8 +40,21 @@ class TaskModel(object):
         self.module = None
 
     def init(self, rng, example_inp):
-        """Initialize flax variables ({'params', 'batch_stats', ...})."""
-        return self.module.init(rng, example_inp, train=False)
+        """Initialize flax variables ({'params', 'batch_stats', ...}), then
+        load a converted pretrained checkpoint when --pretrained-path is set
+        (the reference loads torch backbones at build time,
+        task/sseg/module/backbone/resnet.py:145-156)."""
+        variables = self.module.init(rng, example_inp, train=False)
+        path = getattr(self.args, 'pretrained_path', '') if self.args else ''
+        if path:
+            variables = self.load_pretrained(variables, path)
+        return variables
+
+    def load_pretrained(self, variables, path):
+        """Default: treat the file as a torch ResNet backbone checkpoint.
+        Task models override to dispatch full-model converters."""
+        from ..models.convert import load_pretrained_backbone
+        return load_pretrained_backbone(variables, path)
 
     def apply(self, variables, inp, train, rngs=None):
         """Forward pass. Returns (resulter, mutated_model_state)."""

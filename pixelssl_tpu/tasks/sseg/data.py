@@ -34,6 +34,12 @@ def add_parser_arguments(parser):
                         help='sseg - base size for random scale-crop during training')
     parser.add_argument('--synthetic-samples', type=int, default=64,
                         help='sseg - sample count of the synthetic dataset')
+    parser.add_argument('--native-augment',
+                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+                        default=False,
+                        help='sseg - use the fused C++ augmentation library '
+                             '(faster; point-sampled bilinear instead of '
+                             "PIL's antialiased resize)")
 
 
 def pascal_voc_aug():
@@ -131,6 +137,41 @@ class PascalVocDataset(data_template.TaskDataset):
 
         self._seed = getattr(args, 'seed', 0) or 0
         self._counter = itertools.count()
+        self._use_native = False
+        if getattr(args, 'native_augment', False):
+            from ...nn import native
+            self._use_native = native.available()
+            if not self._use_native:
+                logger.log_warn('--native-augment set but the library is not '
+                                'built (make -C pixelssl_tpu/native); '
+                                'falling back to PIL')
+
+    def _native_train_item(self, rng, image, label, has_label):
+        """Fused C++ scale-crop-flip-normalize (nn/native.py). Same geometry
+        distribution as random_scale_crop; resize is point-sampled bilinear
+        rather than PIL's antialiased filter."""
+        from ...nn import native
+        w, h = image.size
+        base, crop = self.args.train_base_size, self.im_size
+        short_size = int(rng.integers(int(base * 0.5), int(base * 2.0) + 1))
+        if h > w:
+            ow = short_size
+            oh = int(1.0 * h * ow / w)
+        else:
+            oh = short_size
+            ow = int(1.0 * w * oh / h)
+        ph, pw = max(oh, crop), max(ow, crop)
+        y1 = int(rng.integers(0, ph - crop + 1))
+        x1 = int(rng.integers(0, pw - crop + 1))
+        flip = bool(rng.random() < 0.5)
+        lbl_np = np.asarray(label, np.int32) if label is not None else None
+        fill = 0 if has_label else -1  # pad fill matches the PIL path
+        if not has_label:
+            lbl_np = None
+        imgs, lbls = native.augment_batch(
+            [np.asarray(image, np.uint8)], [lbl_np], [(oh, ow)], [(y1, x1)],
+            [flip], [fill], crop, n_threads=1)
+        return (imgs[0],), (lbls[0],)
 
     def __getitem__(self, idx):
         name = self.sample_list[idx]
@@ -141,6 +182,8 @@ class PascalVocDataset(data_template.TaskDataset):
 
         if self.is_train:
             rng = np.random.default_rng((self._seed, idx, next(self._counter)))
+            if self._use_native:
+                return self._native_train_item(rng, image, label, has_label)
             lbl = label if label is not None else image.convert('L')
             image, lbl = random_scale_crop(rng, image, lbl,
                                            self.args.train_base_size, self.im_size)

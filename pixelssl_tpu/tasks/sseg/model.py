@@ -28,6 +28,13 @@ def add_parser_arguments(parser):
     parser.add_argument('--pretrained-path', type=str, default='',
                         help='sseg - path to a converted pretrained backbone '
                              '(torch→jax, see models/convert.py)')
+    parser.add_argument('--remat', type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+                        default=False,
+                        help='sseg - rematerialize backbone activations in the '
+                             'backward pass (larger batch/resolution per HBM)')
+    parser.add_argument('--bf16', type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+                        default=True,
+                        help='sseg - bfloat16 conv compute (fp32 statistics/losses)')
 
 
 def deeplabv2():
@@ -39,14 +46,22 @@ def pspnet():
 
 
 class _SsegModule(nn.Module):
-    """Shared forward contract around a segmentation net."""
+    """Shared forward contract around a segmentation net.
+
+    ``freeze_bn=True`` keeps BatchNorm in eval mode during training
+    (reference deeplab_v2.py:35-40 / model flags) — these nets have no
+    other train-mode behavior, so forcing train=False on the inner net is
+    exact.
+    """
     net: nn.Module
+    freeze_bn: bool = False
 
     @nn.compact
     def __call__(self, inp, train: bool):
         if len(inp) != 1:
             raise ValueError('sseg models require exactly one input, got '
                              '{0}'.format(len(inp)))
+        train = train and not self.freeze_bn
         pred, latent = self.net(inp[0], train)
         pred = pred.astype(jnp.float32)
         return {
@@ -57,10 +72,25 @@ class _SsegModule(nn.Module):
         }
 
 
+def _load_sseg_pretrained(variables, path, full_converter):
+    """Dispatch: full-model checkpoints (keys under 'backbone.' /
+    'model.backbone.') use the wrapper converter; bare torch ResNet .pth
+    files (conv1/layerX keys) load into the backbone only."""
+    from ...models.convert import load_torch_state_dict, load_pretrained_backbone
+    state = load_torch_state_dict(path)
+    if any(k.startswith(('backbone.', 'model.backbone.')) for k in state):
+        return full_converter(state, variables)
+    return load_pretrained_backbone(variables, path)
+
+
 class DeepLabV2Model(model_template.TaskModel):
     """DeepLab-v2 wrapper (reference model.py:29-84)."""
 
     lr_mult_spec = (('classifier', 10.0),)
+
+    def load_pretrained(self, variables, path):
+        from ...models.convert import convert_deeplab_v2
+        return _load_sseg_pretrained(variables, path, convert_deeplab_v2)
 
     def __init__(self, args):
         super(DeepLabV2Model, self).__init__(args)
@@ -68,14 +98,20 @@ class DeepLabV2Model(model_template.TaskModel):
                         output_stride=args.output_stride,
                         num_classes=args.num_classes,
                         bn_axis_name=DATA_AXIS,
-                        dtype=_model_dtype(args))
-        self.module = _SsegModule(net=net)
+                        dtype=_model_dtype(args),
+                        remat=getattr(args, 'remat', False))
+        self.module = _SsegModule(net=net,
+                                  freeze_bn=getattr(args, 'freeze_bn', False))
 
 
 class PSPNetModel(model_template.TaskModel):
     """PSPNet wrapper (reference model.py:87-125)."""
 
     lr_mult_spec = (('psp', 10.0), ('decoder', 10.0))
+
+    def load_pretrained(self, variables, path):
+        from ...models.convert import convert_pspnet
+        return _load_sseg_pretrained(variables, path, convert_pspnet)
 
     def __init__(self, args):
         super(PSPNetModel, self).__init__(args)
@@ -86,8 +122,10 @@ class PSPNetModel(model_template.TaskModel):
                      output_stride=args.output_stride,
                      num_classes=args.num_classes,
                      bn_axis_name=DATA_AXIS,
-                     dtype=_model_dtype(args))
-        self.module = _SsegModule(net=net)
+                     dtype=_model_dtype(args),
+                     remat=getattr(args, 'remat', False))
+        self.module = _SsegModule(net=net,
+                                  freeze_bn=getattr(args, 'freeze_bn', False))
 
 
 def _model_dtype(args):

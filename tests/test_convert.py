@@ -93,3 +93,39 @@ def test_converted_backbone_matches_torch_forward():
         theirs = tnet(torch.from_numpy(x).permute(0, 3, 1, 2))
     theirs = theirs.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4)
+
+
+def test_convert_deeplab_classifier_numerics():
+    """ASPP classifier weights map correctly (dilated convs + bias sum)."""
+    import torch.nn as nn
+    import torch.nn.functional  # noqa: F401
+    from pixelssl_tpu.models.convert import convert_deeplab_v2
+    from pixelssl_tpu.models.deeplab_v2 import ASPPClassifier
+
+    torch.manual_seed(1)
+    convs = nn.ModuleList([
+        nn.Conv2d(8, 4, 3, padding=d, dilation=d, bias=True)
+        for d in (6, 12, 18, 24)])
+    x = np.random.default_rng(0).standard_normal((1, 24, 24, 8)).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        theirs = convs[0](xt)
+        for c in convs[1:]:
+            theirs = theirs + c(xt)
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+
+    head = ASPPClassifier(num_classes=4)
+    variables = head.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # wrap into the DeepLabV2-like tree expected by the converter
+    fake_vars = {'params': {'classifier': variables['params'],
+                            'backbone_net': {}},
+                 'batch_stats': {'backbone_net': {}}}
+    torch_state = {}
+    for i, c in enumerate(convs):
+        torch_state['classifier.conv2d_list.{0}.weight'.format(i)] = \
+            c.weight.detach().numpy()
+        torch_state['classifier.conv2d_list.{0}.bias'.format(i)] = \
+            c.bias.detach().numpy()
+    out = convert_deeplab_v2(torch_state, fake_vars)
+    ours = head.apply({'params': out['params']['classifier']}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4)

@@ -80,3 +80,16 @@ def test_sync_batchnorm_eval_uses_running_stats():
     y = bn.apply(vars_, x, train=False)
     # running stats are (0, 1) at init → output = x (scale 1, bias 0)
     np.testing.assert_allclose(np.asarray(y), 5.0 / np.sqrt(1 + 1e-5), rtol=1e-5)
+
+
+def test_remat_backbone_matches_no_remat():
+    """remat must not change forward numerics."""
+    from pixelssl_tpu.models.resnet import ResNet
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 32, 32, 3)).astype(np.float32))
+    a = ResNet(layers=(1, 1, 1, 1), output_stride=16, remat=False)
+    b = ResNet(layers=(1, 1, 1, 1), output_stride=16, remat=True)
+    va = a.init(jax.random.PRNGKey(0), x, train=False)
+    ya = a.apply(va, x, train=False)
+    yb = b.apply(va, x, train=False)  # same params work for both
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
