@@ -86,21 +86,8 @@ class SyncBatchNorm(nn.Module):
         return y.astype(dtype)
 
 
-class FrozenBatchNorm(nn.Module):
-    """BN that always uses running statistics (for frozen backbones)."""
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        features = x.shape[-1]
-        ra_mean = self.variable('batch_stats', 'mean',
-                                lambda: jnp.zeros(features, jnp.float32))
-        ra_var = self.variable('batch_stats', 'var',
-                               lambda: jnp.ones(features, jnp.float32))
-        scale = self.param('scale', nn.initializers.ones, (features,))
-        bias = self.param('bias', nn.initializers.zeros, (features,))
-        inv = jax.lax.rsqrt(ra_var.value + self.eps) * scale
-        return ((x.astype(jnp.float32) - ra_mean.value) * inv + bias).astype(x.dtype)
+# (BN freezing is done by calling SyncBatchNorm with train=False — the
+# --freeze-bn flag threads that through the task model wrappers.)
 
 
 # ---------------------------------------------------------------------------
@@ -222,14 +209,3 @@ def icnr_init(key, shape, dtype=jnp.float32, scale=2,
     return sub
 
 
-# ---------------------------------------------------------------------------
-# Misc
-# ---------------------------------------------------------------------------
-
-def max_pool(x, window, strides, padding='SAME'):
-    return nn.max_pool(x, (window, window), strides=(strides, strides),
-                       padding=padding)
-
-
-def leaky_relu(x, negative_slope=0.2):
-    return jax.nn.leaky_relu(x, negative_slope)

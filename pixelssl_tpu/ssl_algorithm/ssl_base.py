@@ -95,6 +95,13 @@ class SSLBase(object):
         state = self._build_state(rng)
         state['step'] = jnp.zeros((), jnp.int32)
         state['rng'] = rng
+        # parameter summary (reference create_model's model_str log,
+        # nn/func.py:65-82)
+        from ..nn.func import count_params
+        for key, sub in state.items():
+            if isinstance(sub, dict) and 'params' in sub:
+                logger.log_info('Model `{0}`: {1:,} parameters'.format(
+                    key, count_params(sub['params'])))
         self.state = parallel.replicate(state, self.ctx.mesh)
         self._train_step = parallel.parallel_step(
             self._step_fn, self.ctx.mesh, self.ctx.axis_name)
@@ -121,12 +128,12 @@ class SSLBase(object):
         raise NotImplementedError
 
     def _make_eval_step(self):
-        # eval uses running BN stats → no collectives; plain jit with the
-        # batch sharded over the mesh lets XLA partition it.
-        mesh = self.ctx.mesh
-        rep = parallel.replicate_sharding(mesh)
-        shd = parallel.batch_sharding(mesh, self.ctx.axis_name)
-        return jax.jit(self._eval_fn, in_shardings=(rep, shd))
+        # eval uses running BN stats → no named collectives; plain jit.
+        # Inputs arrive explicitly placed (batch-sharded by the loader, or
+        # H-axis sharded under --spatial-val) and state is replicated, so
+        # jit honors the committed shardings and GSPMD partitions the rest
+        # (incl. conv halo exchanges in spatial mode).
+        return jax.jit(self._eval_fn)
 
     # ------------------------------------------------------------------
     # helpers shared by all algorithm step functions

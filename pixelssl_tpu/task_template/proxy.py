@@ -51,6 +51,10 @@ def add_parser_arguments(parser):
     parser.add_argument('--steps-per-dispatch', type=int, default=1, metavar='',
                         help='exp - train steps fused per device dispatch via '
                              'lax.scan (TPU build addition; hides host latency)')
+    parser.add_argument('--spatial-val', type=cmd.str2bool, default=False, metavar='',
+                        help='exp - shard each validation image\'s height over '
+                             'the mesh (GSPMD halo exchange; for images too '
+                             'large for one chip — TPU build addition)')
 
     # dataset / dataloader arguments
     parser.add_argument('--trainset', type=yaml.full_load, default={}, metavar='', help='data - {dataset_type: [paths]}')
@@ -282,8 +286,10 @@ class TaskProxy(object):
                        for n, dirs in args.valset.items() for d in dirs]
             valset = nndata.JointDatasetsWrapper(valsets, [], ignore_unlabeled=True)
         if valset is not None:
-            self.val_loader = _ValLoader(valset, max(1, n_dev), self.mesh,
-                                         getattr(args, 'ignore_index', 255))
+            spatial = bool(getattr(args, 'spatial_val', False))
+            self.val_loader = _ValLoader(
+                valset, 1 if spatial else max(1, n_dev), self.mesh,
+                getattr(args, 'ignore_index', 255), spatial=spatial)
 
         if self.train_loader is None and not args.validation:
             logger.log_err('Train data loader is required unless validation mode')
@@ -366,11 +372,38 @@ class _ValLoader(object):
     padded with copies whose GT is all-ignore so metrics count every sample
     exactly once while shapes stay static for XLA."""
 
-    def __init__(self, dataset, batch_size, mesh, ignore_index=255):
+    def __init__(self, dataset, batch_size, mesh, ignore_index=255,
+                 spatial=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.mesh = mesh
         self.ignore_index = ignore_index
+        # spatial mode: shard each image's H axis over the mesh instead of
+        # the batch axis (parallel/spatial.py) — batch_size is 1 and H is
+        # padded to a mesh multiple
+        self.spatial = spatial
+
+    def _put(self, batch):
+        if not self.spatial:
+            return parallel.shard_batch(batch, self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n = self.mesh.devices.size
+
+        def put_leaf(x):
+            x = np.asarray(x)
+            if x.ndim >= 3:  # [B, H, ...]: pad H to mesh multiple, shard H
+                pad = (-x.shape[1]) % n
+                if pad:
+                    widths = [(0, 0)] * x.ndim
+                    widths[1] = (0, pad)
+                    fill = self.ignore_index if np.issubdtype(
+                        x.dtype, np.integer) else 0
+                    x = np.pad(x, widths, constant_values=fill)
+                spec = P(None, parallel.DATA_AXIS)
+            else:
+                spec = P()
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+        return jax.tree.map(put_leaf, batch)
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -430,4 +463,4 @@ class _ValLoader(object):
             batch = {'inp': inp, 'gt': gt,
                      'valid': np.asarray([1.0] * len(idxs) + [0.0] * n_pad,
                                          np.float32)}
-            yield parallel.shard_batch(batch, self.mesh)
+            yield self._put(batch)
