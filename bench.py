@@ -63,9 +63,13 @@ def main():
         in_specs=(P(), P(parallel.DATA_AXIS)),
         out_specs=(P(), P()), check_vma=False))
 
-    # warmup / compile
+    # warmup / compile — and a guard that steps actually execute: the step
+    # counter must advance and the loss must be finite
+    import numpy as np
     state, metrics = stepper(algo.state, batch)
     jax.block_until_ready(metrics)
+    assert int(np.asarray(state['step'])) == SCAN_STEPS + 1, 'steps did not run'
+    assert np.isfinite(float(np.asarray(metrics['s_task_loss']))), 'loss not finite'
 
     n_calls = 3
     t0 = time.perf_counter()

@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import resize_bilinear
+from .layers import resize_bilinear, leaky_relu_02
 
 
 class FCDiscriminator(nn.Module):
@@ -26,7 +26,7 @@ class FCDiscriminator(nn.Module):
         for i, w in enumerate(widths):
             x = nn.Conv(w, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name='conv{0}'.format(i + 1))(x)
-            x = jax.nn.leaky_relu(x, 0.2)
+            x = leaky_relu_02(x)  # select-free fwd+bwd (see layers.py)
         x = nn.Conv(1, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name='classifier')(x)
         x = resize_bilinear(x.astype(jnp.float32), task_pred.shape[1:3],

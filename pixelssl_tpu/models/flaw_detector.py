@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import SyncBatchNorm, resize_bilinear
+from .layers import SyncBatchNorm, resize_bilinear, leaky_relu_02
 
 
 class IBNorm(nn.Module):
@@ -55,7 +55,7 @@ class FlawDetector(nn.Module):
                         padding=[(1, 1), (1, 1)], dtype=self.dtype,
                         name=name)(x)
             x = IBNorm(axis_name=self.axis_name, name='ibn' + name[4:])(x, train)
-            x = jax.nn.leaky_relu(x, 0.2)
+            x = leaky_relu_02(x)  # select-free fwd+bwd (see layers.py)
         x = nn.Conv(1, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name='classifier')(x)
         x = resize_bilinear(x.astype(jnp.float32), task_pred.shape[1:3],

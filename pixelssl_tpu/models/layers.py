@@ -209,3 +209,35 @@ def icnr_init(key, shape, dtype=jnp.float32, scale=2,
     return sub
 
 
+
+
+# ---------------------------------------------------------------------------
+# LeakyReLU with a select-free backward
+# ---------------------------------------------------------------------------
+# XLA's TPU space-to-batch pass crashes (Check failed:
+# PropagateOnBackpropFilterConv ... "Operands to select must be the same
+# shape; got f32[...] and pred[...]") when a select sits between strided
+# convolutions in the backward graph — exactly what the autodiff rule for
+# max/where-based LeakyReLU produces inside the FCDiscriminator/FlawDetector
+# stride-2 stacks at small batch. This custom-vjp variant keeps both passes
+# select-free: forward is max(x, a·x), backward multiplies by the float mask
+# a + (1−a)·[x>0].
+
+import jax as _jax
+
+
+@_jax.custom_vjp
+def leaky_relu_02(x):
+    return jnp.maximum(x, 0.2 * x)
+
+
+def _leaky_fwd(x):
+    mask = (x > 0).astype(x.dtype)
+    return jnp.maximum(x, 0.2 * x), mask
+
+
+def _leaky_bwd(mask, g):
+    return (g * (0.2 + 0.8 * mask),)
+
+
+leaky_relu_02.defvjp(_leaky_fwd, _leaky_bwd)

@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import SyncBatchNorm
+from .layers import SyncBatchNorm, leaky_relu_02
 
 
 class RotationClassifier(nn.Module):
@@ -23,12 +23,12 @@ class RotationClassifier(nn.Module):
         in_ch = x.shape[-1]
         x = nn.Conv(in_ch, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name='conv1')(x)
-        x = jax.nn.leaky_relu(
-            SyncBatchNorm(axis_name=self.axis_name, name='bn1')(x, train), 0.2)
+        x = SyncBatchNorm(axis_name=self.axis_name, name='bn1')(x, train)
+        x = leaky_relu_02(x)  # select-free fwd+bwd (see layers.py)
         x = nn.Conv(in_ch * 2, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name='conv2')(x)
-        x = jax.nn.leaky_relu(
-            SyncBatchNorm(axis_name=self.axis_name, name='bn2')(x, train), 0.2)
+        x = SyncBatchNorm(axis_name=self.axis_name, name='bn2')(x, train)
+        x = leaky_relu_02(x)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
         # named 'fc' (not 'classifier') so task lr-mult path rules like
         # ('classifier', 10x) never match the rotation head

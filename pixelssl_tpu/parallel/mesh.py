@@ -20,10 +20,7 @@ global-batch semantics here: config batch sizes are per-device, the global
 batch is config × n_devices.
 """
 
-import functools
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map

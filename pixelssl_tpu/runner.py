@@ -10,7 +10,6 @@ import sys
 
 from . import ssl_algorithm
 from .nn import lrer, optimizer
-from .task_template import proxy as proxy_template
 from .utils import cmd, logger
 
 

@@ -182,10 +182,19 @@ class SSLADV(SSLBase):
         # ------------------------------------------------------------------
         fake_inp = jax.lax.stop_gradient(activated_pred[0])
 
+        # real branch zero-padded to the FULL batch: every D call in the
+        # program then runs at one batch size. Running the discriminator at
+        # two different batch sizes in one compiled program triggers a fatal
+        # XLA TPU space-to-batch compiler bug on the backprop-filter convs
+        # (Check failed: PropagateOnBackpropFilterConv, select shape
+        # mismatch); padded rows are excluded from the loss, so the math is
+        # the reference's exactly.
+        real_gt_inp = task_func.ssladv_convert_task_gt_to_fcd_input(l_gt[0])
+        pad = jnp.zeros((bs - lbs,) + real_gt_inp.shape[1:], real_gt_inp.dtype)
+        real_gt_padded = jnp.concatenate([real_gt_inp, pad], axis=0)
+
         def d_loss_fn(d_params):
-            fake_cm = self.d_module.apply({'params': d_params},
-                                          fake_inp if args.unlabeled_for_discriminator
-                                          else fake_inp[:lbs])
+            fake_cm = self.d_module.apply({'params': d_params}, fake_inp)
             l_cm, l_cgt = task_func.ssladv_preprocess_fcd_criterion(
                 fake_cm[:lbs], l_gt[0], False)
             fake_losses = [fc_discriminator_criterion(l_cm, l_cgt)]
@@ -196,8 +205,8 @@ class SSLADV(SSLBase):
             fake_d_loss = args.discriminator_scale * self._global_mean(
                 jnp.concatenate(fake_losses, axis=0))
 
-            real_gt = task_func.ssladv_convert_task_gt_to_fcd_input(l_gt[0])
-            real_cm = self.d_module.apply({'params': d_params}, real_gt)
+            real_cm = self.d_module.apply({'params': d_params},
+                                          real_gt_padded)[:lbs]
             real_cm, real_cgt = task_func.ssladv_preprocess_fcd_criterion(
                 real_cm, l_gt[0], True)
             real_d_loss = args.discriminator_scale * self._global_mean(
