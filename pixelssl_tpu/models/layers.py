@@ -47,7 +47,12 @@ class SyncBatchNorm(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, sample_weight=None):
+        """``sample_weight`` (optional [N] 0/1): rows with weight 0 are
+        excluded from the batch statistics — lets padded samples share a
+        forward pass without corrupting BN (used to keep every conv stack
+        at ONE batch size per program, dodging the XLA TPU space-to-batch
+        compiler bug documented in ssl_algorithm/ssl_adv.py)."""
         features = x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros(features, jnp.float32))
@@ -62,10 +67,18 @@ class SyncBatchNorm(nn.Module):
         if train:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
-            local_count = np.prod([x.shape[a] for a in axes])
-            s = jnp.sum(xf, axis=axes)
-            ss = jnp.sum(jnp.square(xf), axis=axes)
-            count = jnp.asarray(local_count, jnp.float32)
+            if sample_weight is not None:
+                w = sample_weight.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1))
+                s = jnp.sum(xf * w, axis=axes)
+                ss = jnp.sum(jnp.square(xf) * w, axis=axes)
+                per_sample = np.prod(x.shape[1:-1])
+                count = jnp.sum(sample_weight.astype(jnp.float32)) * per_sample
+            else:
+                local_count = np.prod([x.shape[a] for a in axes])
+                s = jnp.sum(xf, axis=axes)
+                ss = jnp.sum(jnp.square(xf), axis=axes)
+                count = jnp.asarray(local_count, jnp.float32)
             if self.axis_name is not None and not self.is_initializing():
                 s, ss, count = jax.lax.psum((s, ss, count), self.axis_name)
             mean = s / count

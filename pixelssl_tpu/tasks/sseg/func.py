@@ -137,6 +137,17 @@ class SemanticSegmentationFunc(func_template.TaskFunc):
         keep = (task_gt != self.args.ignore_index)[..., None]
         return one_hot * keep.astype(jnp.float32)
 
+    def visualize_pseudo_gt(self, pseudo_gt, out_path, id_str=''):
+        """Colorized argmax dump of a GCT dynamic-consistency pseudo-GT
+        (reference func.py:196-202)."""
+        from PIL import Image
+        p = np.asarray(jax.device_get(pseudo_gt))
+        if p.ndim == 4:
+            p = p[0]
+        p = np.argmax(p, axis=-1)
+        Image.fromarray(self._colorize(p)).save(
+            out_path + '_{0}-pseudo-gt.png'.format(id_str))
+
     # ------------------------------------------------------------------
     # SSL_S4L hooks (reference func.py:205-207)
     # ------------------------------------------------------------------

@@ -93,3 +93,26 @@ def test_remat_backbone_matches_no_remat():
     ya = a.apply(va, x, train=False)
     yb = b.apply(va, x, train=False)  # same params work for both
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
+
+
+def test_sync_batchnorm_sample_weight_excludes_padding():
+    """Masked-stats BN: padded rows must not affect statistics."""
+    bn = SyncBatchNorm()
+    rng = np.random.default_rng(0)
+    x_real = rng.standard_normal((4, 4, 4, 3)).astype(np.float32)
+    x_padded = np.concatenate([x_real, np.zeros((2, 4, 4, 3), np.float32)])
+    w = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+    vars_ = bn.init(jax.random.PRNGKey(0), jnp.asarray(x_real), train=False)
+
+    y_ref, st_ref = bn.apply(vars_, jnp.asarray(x_real), train=True,
+                             mutable=['batch_stats'])
+    y_pad, st_pad = bn.apply(vars_, jnp.asarray(x_padded), train=True,
+                             sample_weight=w, mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(y_pad)[:4], np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_pad['batch_stats']['mean']),
+        np.asarray(st_ref['batch_stats']['mean']), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(st_pad['batch_stats']['var']),
+        np.asarray(st_ref['batch_stats']['var']), rtol=1e-5, atol=1e-7)
