@@ -171,3 +171,39 @@ def test_multi_step_dispatch_matches_single_step():
     assert float(np.asarray(mA['s_task_loss'])) == pytest.approx(
         float(np.asarray(mB['s_task_loss'])), rel=1e-4)
     assert int(np.asarray(sB['step'])) == 2
+
+
+def test_ssl_gct_fc_and_dc_modes():
+    """ssl-mode fc / dc variants (reference ssl_gct.py:39 choices)."""
+    for mode in ('fc', 'dc'):
+        algo, state, metrics = _run_steps(
+            'ssl_gct', n_steps=1, im_size=64, ssl_mode=mode,
+            fc_ssl_scale=1.0, dc_ssl_scale=1.0, dc_threshold=0.4,
+            dc_rampup_epochs=1, mu=0.5, nu=1, fd_scale=1.0)
+        if mode == 'fc':
+            assert float(np.asarray(metrics['l_dc_loss'])) == 0.0
+            assert float(np.asarray(metrics['l_fc_loss'])) != 0.0
+        else:
+            assert float(np.asarray(metrics['l_fc_loss'])) == 0.0
+
+
+def test_ssl_gct_two_model_dict():
+    """2-key component dicts: different architectures for l/r models
+    (reference ssl_gct.py:69-77)."""
+    mesh = parallel.make_mesh()
+    n = mesh.devices.size
+    args = harness.default_args(
+        'ssl_gct', backbone='resnet10', im_size=64, num_classes=5,
+        batch_size=2 * n, unlabeled_batch_size=1 * n, ignore_unlabeled=False,
+        ssl_mode='gct', fc_ssl_scale=1.0, dc_ssl_scale=1.0, dc_threshold=0.4,
+        dc_rampup_epochs=1, mu=0.5, nu=1, fd_scale=1.0,
+        lr=0.001, momentum=0.9, epochs=1, output_stride=8)
+    args.models = {'lmodel': 'deeplabv2', 'rmodel': 'pspnet'}
+    args.optimizers = {'lmodel': 'sgd', 'rmodel': 'sgd'}
+    args.lrers = {'lmodel': 'polynomiallr', 'rmodel': 'polynomiallr'}
+    args.criterions = {'lmodel': 'sseg_criterion', 'rmodel': 'sseg_criterion'}
+    algo = harness.build_algorithm(args, mesh=mesh)
+    batch = harness.synthetic_batch(args, mesh)
+    state, metrics = algo._train_step(algo.state, batch)
+    for k in ('l_task_loss', 'r_task_loss', 'l_fd_loss', 'r_fd_loss'):
+        assert np.isfinite(float(np.asarray(metrics[k])))

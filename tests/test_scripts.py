@@ -1,0 +1,55 @@
+"""Every benchmark script's config must parse through the real arg system
+(catches config/flag drift without training)."""
+
+
+import collections
+import os
+
+import pytest
+
+SCRIPTS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'scripts')
+SCRIPTS = sorted(f for f in os.listdir(SCRIPTS_DIR) if f.endswith('.py'))
+
+
+def _load_config(path):
+    """Execute the script module (run_script is under __main__, so importing
+    is side-effect free) and return its config dict."""
+    ns = {'__file__': path, '__name__': 'script_under_test'}
+    exec(compile(open(path).read(), path, 'exec'), ns)
+    return ns['config']
+
+
+@pytest.mark.parametrize('script', SCRIPTS)
+def test_script_config_parses(script, monkeypatch):
+    import sys
+    monkeypatch.setattr(sys, 'argv', ['prog'])
+    from pixelssl_tpu import runner
+    from pixelssl_tpu.tasks import sseg
+    from pixelssl_tpu.utils import cmd
+
+    cfg = _load_config(os.path.join(SCRIPTS_DIR, script))
+    assert cfg['ssl_algorithm'] in runner.ssl_algorithm.SSL_ALGORITHMS
+
+    parser = runner.create_parser(cfg['ssl_algorithm'])
+    sseg.add_parser_arguments(parser)
+    args = cmd.parse_args(parser, cfg)
+
+    # core invariants every script must satisfy
+    assert args.models and args.optimizers and args.lrers and args.criterions
+    assert set(args.models) == set(args.criterions) == set(args.optimizers)
+    assert args.batch_size > args.unlabeled_batch_size >= 0
+    assert args.im_size in (321, 513)
+    if cfg['ssl_algorithm'] == 'ssl_null':
+        assert args.unlabeled_batch_size == 0 and args.ignore_unlabeled
+    else:
+        assert args.unlabeled_batch_size > 0 and not args.ignore_unlabeled
+    # model/criterion names resolve in the task registries
+    for name in args.models.values():
+        assert hasattr(sseg.model, name)
+    for name in args.criterions.values():
+        assert hasattr(sseg.criterion, name)
+
+
+def test_all_17_scripts_present():
+    assert len(SCRIPTS) == 17
