@@ -159,6 +159,21 @@ class SSLBase(object):
         return optax.apply_updates(params, updates), opt_state
 
     # ------------------------------------------------------------------
+    # structured metrics log (TPU build addition: the reference only wrote
+    # formatted text logs; a metrics.jsonl stream makes runs machine-
+    # comparable)
+    # ------------------------------------------------------------------
+
+    def _log_jsonl(self, record):
+        path = getattr(self.args, 'checkpoint_path', '')
+        if not path:
+            return
+        import json
+        out = os.path.join(os.path.dirname(path.rstrip('/')), 'metrics.jsonl')
+        with open(out, 'a') as f:
+            f.write(json.dumps(record) + '\n')
+
+    # ------------------------------------------------------------------
     # host loops (structure mirrors reference ssl_null.py:123-192)
     # ------------------------------------------------------------------
 
@@ -199,6 +214,10 @@ class SSLBase(object):
                         epoch, idx + 1, n_batches,
                         '  '.join('{0}: {1:.5f}'.format(k, float(np.asarray(v)))
                                   for k, v in sorted(metrics.items()))))
+                self._log_jsonl(dict(
+                    {k: float(np.asarray(v)) for k, v in metrics.items()},
+                    phase='train', epoch=epoch, iter=idx + 1,
+                    algorithm=self.NAME))
                 t0 = time.time()
         return self.meters
 
@@ -287,6 +306,11 @@ class SSLBase(object):
             if key.endswith('_loss'):
                 logger.log_info('val epoch {0}: {1} = {2:.5f}'.format(
                     epoch, key, float(meter.avg)))
+        record = {k: float(v) for k, v in results.items()}
+        record.update({k: float(m.avg) for k, m in self.meters.items()
+                       if k.endswith('_loss')})
+        self._log_jsonl(dict(record, phase='val', epoch=epoch,
+                             algorithm=self.NAME))
         return results
 
     # ------------------------------------------------------------------
