@@ -10,6 +10,7 @@
 
 set -euo pipefail
 
+SCRIPT_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)"
 TARGET=${1:-./VOCdevkit}
 mkdir -p "$TARGET"
 cd "$(dirname "$TARGET")"
@@ -39,7 +40,7 @@ download_and_check "$AUG_URL" SegmentationClassAug.zip ""
 unzip -qo SegmentationClassAug.zip -d VOCdevkit/VOC2012/
 
 # build train_aug.txt = names with an aug label that are not in val.txt
-python3 "$(dirname "$0")/tool/list_augtrain_samples.py" \
+python3 "$SCRIPT_DIR/tool/list_augtrain_samples.py" \
     VOCdevkit/VOC2012
 
 echo "done: VOCdevkit/VOC2012 ready"

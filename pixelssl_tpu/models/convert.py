@@ -160,7 +160,7 @@ def load_pretrained_backbone(variables, pth_path, backbone_path=('net', 'backbon
     batch_stats = dict(variables.get('batch_stats', {}))
 
     bb_params, bb_stats, n = convert_resnet_backbone(
-        get_sub(params), get_sub(batch_stats))
+        torch_state, get_sub(params), get_sub(batch_stats))
     if n == 0:
         logger.log_warn('load_pretrained_backbone: no tensors matched — '
                         'wrong checkpoint or backbone path?')

@@ -63,15 +63,32 @@ class DataLoader(object):
         out_q = queue.Queue(maxsize=self.prefetch)
         _END = object()
         error = []
+        stop = threading.Event()
+
+        def _put(item):
+            # bounded put that gives up if the consumer abandoned the
+            # iterator (exception/interrupt mid-epoch) — otherwise the
+            # producer would block forever on the full queue and leak the
+            # thread + pool every abandoned epoch
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idx_batch in self.batch_sampler:
-                    out_q.put(self._load_batch(idx_batch, pool))
+                    if not _put(self._load_batch(idx_batch, pool)):
+                        return
             except BaseException as e:  # surfaced in consumer
                 error.append(e)
             finally:
-                out_q.put(_END)
+                _put(_END)
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -84,5 +101,4 @@ class DataLoader(object):
                     return
                 yield item
         finally:
-            if pool is not None:
-                pool.shutdown(wait=False)
+            stop.set()

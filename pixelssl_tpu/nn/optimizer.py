@@ -20,6 +20,7 @@ The ``-1`` / unset sentinel convention of the reference flags is preserved
 """
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from ..utils import cmd, logger
@@ -91,16 +92,41 @@ class OptimizerFactory(object):
         return tx
 
 
-def sgd(args):
-    """SGD with momentum + L2 weight decay (reference optimizer.py:57-75).
+def _torch_momentum(decay, dampening=0.0, nesterov=False):
+    """torch.optim.SGD momentum semantics: first step ``buf = g`` (no
+    dampening), then ``buf = decay*buf + (1-dampening)*g``; update is
+    ``g + decay*buf`` under nesterov, else ``buf``."""
 
-    Matches torch.optim.SGD semantics: decay is added to the gradient
-    before the momentum buffer.
+    def init_fn(params):
+        return {'trace': jax.tree.map(jnp.zeros_like, params),
+                'step': jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        first = state['step'] == 0
+        scale = jnp.where(first, 1.0, 1.0 - dampening)
+        trace = jax.tree.map(lambda b, g: decay * b + scale * g,
+                             state['trace'], updates)
+        if nesterov:
+            out = jax.tree.map(lambda g, b: g + decay * b, updates, trace)
+        else:
+            out = trace
+        return out, {'trace': trace, 'step': state['step'] + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def sgd(args):
+    """SGD with momentum/dampening/nesterov + L2 weight decay (reference
+    optimizer.py:57-75). Matches torch.optim.SGD semantics: decay is added
+    to the gradient before the momentum buffer; dampening scales the
+    gradient's contribution to the buffer (except on the first step).
     """
     lr = _default(args.lr, None)
     if lr is None:
         logger.log_err('sgd optimizer requires --lr')
     momentum = _default(args.momentum, 0.0)
+    dampening = _default(args.dampening, 0.0)
     weight_decay = _default(args.weight_decay, 0.0)
     nesterov = bool(args.nesterov)
 
@@ -109,7 +135,10 @@ def sgd(args):
         if weight_decay > 0:
             parts.append(optax.add_decayed_weights(weight_decay))
         if momentum > 0:
-            parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+            if dampening > 0:
+                parts.append(_torch_momentum(momentum, dampening, nesterov))
+            else:
+                parts.append(optax.trace(decay=momentum, nesterov=nesterov))
         parts.append(optax.scale_by_learning_rate(lr_schedule))
         return optax.chain(*parts)
 

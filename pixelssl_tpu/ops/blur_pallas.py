@@ -68,9 +68,6 @@ def gaussian_blur_fused(x, kernel_size, use_pallas=False):
     bh = jnp.asarray(_blur_matrix(h, int(kernel_size)))
     bw = jnp.asarray(_blur_matrix(w, int(kernel_size)))
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == 'tpu'
-
     if use_pallas:
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu

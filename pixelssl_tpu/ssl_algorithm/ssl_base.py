@@ -64,14 +64,6 @@ class TaskContext(object):
         self.example_inp = example_inp  # tuple of LOCAL-shape arrays
         self.example_gt = example_gt
 
-    def main_key(self, dct, expected=None):
-        keys = list(dct.keys())
-        if expected is not None and set(keys) != set(expected):
-            logger.log_err('Component dict keys {0} do not match the '
-                           'algorithm requirement {1}'.format(keys, expected))
-        return keys[0]
-
-
 class SSLBase(object):
     NAME = 'ssl_base'
     SUPPORTED_TASK_TYPES = []
@@ -184,6 +176,7 @@ class SSLBase(object):
         args = self.args
         n_batches = len(data_loader)
         t0 = time.time()
+        last_logged = 0
         for idx, batch in enumerate(data_loader):
             data_time = time.time() - t0
             self.state, metrics = self._train_step(self.state, batch)
@@ -208,7 +201,9 @@ class SSLBase(object):
                 metrics = jax.device_get(metrics)
                 self.meters.update_dict(
                     {k: float(np.asarray(v)) for k, v in metrics.items()})
-                self.meters.update('batch_time', (time.time() - t0) / min(idx + 1, args.log_freq))
+                self.meters.update('batch_time',
+                                   (time.time() - t0) / max(1, idx + 1 - last_logged))
+                last_logged = idx + 1
                 logger.log_info(
                     'epoch {0:>3} iter {1:>5}/{2:<5} {3}'.format(
                         epoch, idx + 1, n_batches,

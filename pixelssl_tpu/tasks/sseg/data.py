@@ -12,8 +12,8 @@ int32 [H,W]); augmentation randomness is drawn from a seeded
 ``np.random.Generator`` per access rather than the global ``random`` module.
 """
 
-import itertools
 import os
+import threading
 
 import numpy as np
 from PIL import Image, ImageOps
@@ -136,7 +136,12 @@ class PascalVocDataset(data_template.TaskDataset):
         self.idxs = list(range(len(self.sample_list)))
 
         self._seed = getattr(args, 'seed', 0) or 0
-        self._counter = itertools.count()
+        # per-index access counters: the k-th access of sample idx always
+        # draws from rng (seed, idx, k), regardless of loader-thread
+        # interleaving — keeps augmentation streams reproducible with
+        # num_workers > 0 (a global counter would depend on scheduling)
+        self._access_lock = threading.Lock()
+        self._access_counts = {}
         self._use_native = False
         if getattr(args, 'native_augment', False):
             from ...nn import native
@@ -181,7 +186,10 @@ class PascalVocDataset(data_template.TaskDataset):
         label = Image.open(label_path) if os.path.exists(label_path) else None
 
         if self.is_train:
-            rng = np.random.default_rng((self._seed, idx, next(self._counter)))
+            with self._access_lock:
+                k = self._access_counts.get(idx, 0)
+                self._access_counts[idx] = k + 1
+            rng = np.random.default_rng((self._seed, idx, k))
             if self._use_native:
                 return self._native_train_item(rng, image, label, has_label)
             lbl = label if label is not None else image.convert('L')

@@ -31,10 +31,10 @@ def task_func():
     return SemanticSegmentationFunc
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _cm_on_device(activated_pred, gt, num_classes):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _cm_on_device(activated_pred, gt, num_classes, ignore_index):
     pred_label = jnp.argmax(activated_pred, axis=-1)
-    return confusion_matrix(pred_label, gt, num_classes)
+    return confusion_matrix(pred_label, gt, num_classes, ignore_index)
 
 
 class SemanticSegmentationFunc(func_template.TaskFunc):
@@ -52,7 +52,8 @@ class SemanticSegmentationFunc(func_template.TaskFunc):
         if hasattr(gt0, 'ndim') and gt0.ndim == 4:
             gt0 = gt0[..., 0]
         cm = np.asarray(jax.device_get(
-            _cm_on_device(pred[0], gt0, self.args.num_classes)))
+            _cm_on_device(pred[0], gt0, self.args.num_classes,
+                          self.args.ignore_index)))
 
         cm_key = '{0}_confusion_matrix'.format(id_str)
         meters.update(cm_key, cm)
@@ -183,9 +184,12 @@ class SemanticSegmentationFunc(func_template.TaskFunc):
 
 
 def fdgt_generator(pred, gt, num_classes, ignore_index, im_size):
-    """Task-local flaw-detector GT pipeline (reference func.py:258-297):
-    |one_hot(gt) − pred| summed over C / 2 → blur(k=im/8) → 3×3 dilate →
-    reblur(k=im/4) → per-sample min-max normalize. Pure jnp."""
+    """Task-local flaw-detector GT pipeline — mirrors the reference's
+    task/sseg/func.py:258-297 FDGTGenerator, which INTENTIONALLY differs
+    from ssl_gct.py's (μ,ν) variant: sum/2 instead of ·μ, and exactly one
+    dilate+reblur instead of ν repeats. Like the reference's copy it is not
+    called by any algorithm (ssl_gct uses its own pipeline); kept for
+    API parity. Pure jnp."""
     one_hot = jax.nn.one_hot(gt, num_classes, dtype=jnp.float32)
     one_hot = one_hot * (gt != ignore_index)[..., None].astype(jnp.float32)
     diff = jnp.sum(jnp.abs(one_hot - jax.lax.stop_gradient(pred)),

@@ -129,3 +129,50 @@ def test_convert_deeplab_classifier_numerics():
     out = convert_deeplab_v2(torch_state, fake_vars)
     ours = head.apply({'params': out['params']['classifier']}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4)
+
+
+def test_load_pretrained_backbone_via_taskmodel(tmp_path):
+    """--pretrained-path with a bare torch ResNet .pth loads backbone
+    weights at model init (the path that reproduces published mIoU)."""
+    tnet = _build_torch_resnet10()
+    pth = tmp_path / 'backbone.pth'
+    torch.save(tnet.state_dict(), str(pth))
+
+    from pixelssl_tpu import harness
+    args = harness.default_args('ssl_null', backbone='resnet10', im_size=32,
+                                num_classes=5, batch_size=8,
+                                unlabeled_batch_size=0, ignore_unlabeled=True,
+                                lr=0.01, pretrained_path=str(pth))
+    # init through the TaskModel surface
+    from pixelssl_tpu.tasks.sseg.model import deeplabv2
+    model = deeplabv2()(args)
+    variables = model.init(jax.random.PRNGKey(0),
+                           (np.zeros((1, 32, 32, 3), np.float32),))
+    # stem conv must equal the torch weights (OIHW→HWIO)
+    ours = np.asarray(
+        variables['params']['net']['backbone_net']['conv1']['kernel'])
+    theirs = np.transpose(tnet.state_dict()['conv1.weight'].numpy(),
+                          (2, 3, 1, 0))
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_sgd_dampening_matches_torch():
+    import jax.numpy as jnp
+    from pixelssl_tpu.nn import optimizer as nnopt
+
+    class A:
+        lr, momentum, dampening, weight_decay, nesterov = 0.1, 0.9, 0.5, 0.0, False
+        alpha = centered = eps = beta1 = beta2 = amsgrad = -1
+    tx = nnopt.sgd(A()).make(lambda s: 0.1)
+
+    p = torch.nn.Parameter(torch.tensor([1.0, -2.0]))
+    opt = torch.optim.SGD([p], lr=0.1, momentum=0.9, dampening=0.5)
+    jp = jnp.asarray([1.0, -2.0])
+    state = tx.init(jp)
+    for g in ([0.5, 0.25], [0.1, -0.3], [0.2, 0.2]):
+        gt = torch.tensor(g)
+        p.grad = gt.clone()
+        opt.step()
+        upd, state = tx.update(jnp.asarray(g), state, jp)
+        jp = jp + upd
+    np.testing.assert_allclose(np.asarray(jp), p.detach().numpy(), atol=1e-6)

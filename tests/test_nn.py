@@ -158,3 +158,27 @@ def test_joint_datasets_wrapper():
     # index resolution across dataset boundaries
     assert float(w[2][0][0][0]) == 0   # l2[0]
     assert float(w[4][0][0][0]) == 1   # u1[1]
+
+
+def test_voc_augment_deterministic_across_thread_orders():
+    """Per-index access counters: augmentation streams must not depend on
+    loader-thread interleaving (same seed → same batches)."""
+    import types
+    from pixelssl_tpu.tasks.sseg import data as sdata
+
+    args = types.SimpleNamespace(
+        trainset={'pascal_voc_aug': ['/tmp/minivoc/VOC2012']}, valset={},
+        im_size=32, train_base_size=48, seed=3, num_classes=4,
+        val_rescaling=False, native_augment=False)
+    try:
+        ds1 = sdata.PascalVocAugDataset(args, is_train=True)
+    except SystemExit:
+        pytest.skip('mini VOC fixture not present')
+    ds2 = sdata.PascalVocAugDataset(args, is_train=True)
+
+    # simulate different thread interleavings: idx order 0,1,2 vs 2,1,0
+    a = {i: ds1[i] for i in (0, 1, 2)}
+    b = {i: ds2[i] for i in (2, 1, 0)}
+    for i in (0, 1, 2):
+        np.testing.assert_array_equal(np.asarray(a[i][0][0]),
+                                      np.asarray(b[i][0][0]))
