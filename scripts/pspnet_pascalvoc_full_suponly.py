@@ -1,71 +1,16 @@
-"""Benchmark script (mirrors reference task/sseg/script/pspnet_pascalvoc_full_suponly.py config).
+"""PSPNet / PASCAL VOC full / ssl_null (reference config: task/sseg/script/pspnet_pascalvoc_full_suponly.py)."""
 
-Out of the box this trains from scratch; set ('resume', '<ckpt>') and
-('validation', True) to rescore a checkpoint like the reference scripts do.
-"""
-
-import collections
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import pixelssl_tpu as pixelssl
-from pixelssl_tpu.tasks import sseg
+from _common import base_config, run
 
-config = collections.OrderedDict(
-    [
-        ('exp_id', os.path.basename(__file__).split(".")[0]),
-
-        # arguments - SSL algorithm
-        ('ssl_algorithm', 'ssl_null'),
-
-
-        # arguments - exp
-        ('resume', ''),
-        ('validation', False),
-        ('out_path', 'result'),
-        ('visualize', False),
-        ('debug', False),
-        ('val_freq', 1),
-        ('log_freq', 50),
-        ('visual_freq', 50),
-        ('checkpoint_freq', 10),
-
-        # arguments - dataset / dataloader
-        ('trainset', {'pascal_voc_aug': ['dataset/PascalVOC/VOCdevkit/VOC2012']}),
-        ('valset', {'pascal_voc_aug': ['dataset/PascalVOC/VOCdevkit/VOC2012']}),
-        ('num_workers', 2),
-        ('im_size', 513),
-
-        ('ignore_unlabeled', True),
-
-        # arguments - task specific components
-        ('models', {'model': 'pspnet'}),
-        ('optimizers', {'model': 'sgd'}),
-        ('lrers', {'model': 'polynomiallr'}),
-        ('criterions', {'model': 'sseg_criterion'}),
-
-        # arguments - task specific optimizer / lr scheduler
-        ('lr', 0.00025),
-        ('momentum', 0.9),
-        ('weight_decay', 0.0005),
-
-        # arguments - task special model
-        ('output_stride', 16),
-        ('backbone', 'resnet101-coco'),
-
-        # arguments - task special data
-        ('val_rescaling', False),
-        ('train_base_size', 513),
-
-        # arguments - training details
-        ('epochs', 80),
-        ('batch_size', 4),
-        ('unlabeled_batch_size', 0),
-    ]
+config = base_config(
+    __file__, model='pspnet', ssl_algorithm='ssl_null', epochs=80,
+    sublabeled_ratio=None,
 )
 
-
 if __name__ == '__main__':
-    pixelssl.run_script(config, sseg, sseg.SemanticSegmentationProxy)
+    run(config)
