@@ -32,18 +32,22 @@ def sigmoid_rampup(current, rampup_length):
     return jnp.where(jnp.asarray(rampup_length) == 0, 1.0, value)
 
 
-def split_tensor_tuple(ttuple, start, end, detach=False):
+def split_tensor_tuple(ttuple, start, end, detach=False, reduce_dim=False):
     """Slice each array of a tuple along the batch dim (nn/func.py:24-51).
 
     Used everywhere to split the two-stream batch (labeled-first ordering)
     into labeled / unlabeled sub-batches. ``start``/``end`` must be static
     under jit (they come from the static batch-size config).
+    ``reduce_dim`` drops the batch dim when the slice is one sample
+    (reference parity; used by visualization call sites).
     """
     result = []
     for t in ttuple:
         t = t[start:end]
         if detach:
             t = jax.lax.stop_gradient(t)
+        if reduce_dim:
+            t = t[0]
         result.append(t)
     return tuple(result)
 

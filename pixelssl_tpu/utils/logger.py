@@ -116,6 +116,11 @@ class AvgMeterSet(object):
     def __contains__(self, key):
         return key in self.meters
 
+    def has_key(self, key):
+        """Reference-API alias (reference logger.py usage in
+        task/sseg/func.py:55-63)."""
+        return key in self.meters
+
     def update(self, name, value, n=1):
         if name not in self.meters:
             self.meters[name] = AvgMeter()
