@@ -43,4 +43,12 @@ unzip -qo SegmentationClassAug.zip -d VOCdevkit/VOC2012/
 python3 "$SCRIPT_DIR/tool/list_augtrain_samples.py" \
     VOCdevkit/VOC2012
 
+# generate the labeled-subset prefix files the scripts/ configs point at
+# (sublabeled_prefix/{1-16,1-8,1-4,1-2}/{0,1,2}.txt). Deterministic seed —
+# reruns give identical splits. To reproduce the upstream benchmarks
+# bit-exactly, replace these with the split files from an upstream
+# PixelSSL checkout (see tool/random_sublabeled_samples.py docstring).
+python3 "$SCRIPT_DIR/tool/random_sublabeled_samples.py" \
+    VOCdevkit/VOC2012 "$SCRIPT_DIR/sublabeled_prefix" --seed 0
+
 echo "done: VOCdevkit/VOC2012 ready"
