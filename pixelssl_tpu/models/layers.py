@@ -90,13 +90,18 @@ class SyncBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        # Fold the fp32 statistics into per-channel scale/shift vectors and
+        # apply them in the input dtype: in bf16 training this keeps every
+        # activation-sized tensor (and the residuals autodiff saves for the
+        # backward pass) bf16 instead of materializing an fp32 (x - mean),
+        # halving BN's HBM traffic. Stats/rsqrt stay fp32 throughout.
         inv = jax.lax.rsqrt(var + self.eps)
         if scale is not None:
             inv = inv * scale
-        y = (x.astype(jnp.float32) - mean) * inv
+        shift = -mean * inv
         if bias is not None:
-            y = y + bias
-        return y.astype(dtype)
+            shift = shift + bias
+        return x * inv.astype(dtype) + shift.astype(dtype)
 
 
 # (BN freezing is done by calling SyncBatchNorm with train=False — the
