@@ -23,7 +23,7 @@ import json
 import time
 
 BASELINE_STEPS_PER_SEC = 1.3  # estimated torch DataParallel MT step rate
-SCAN_STEPS = 8
+SCAN_STEPS = 32
 
 
 def main():
@@ -71,7 +71,7 @@ def main():
     assert int(np.asarray(state['step'])) == SCAN_STEPS + 1, 'steps did not run'
     assert np.isfinite(float(np.asarray(metrics['s_task_loss']))), 'loss not finite'
 
-    n_calls = 3
+    n_calls = 2
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, metrics = stepper(state, batch)
