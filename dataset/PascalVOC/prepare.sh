@@ -43,12 +43,16 @@ unzip -qo SegmentationClassAug.zip -d VOCdevkit/VOC2012/
 python3 "$SCRIPT_DIR/tool/list_augtrain_samples.py" \
     VOCdevkit/VOC2012
 
-# generate the labeled-subset prefix files the scripts/ configs point at
-# (sublabeled_prefix/{1-16,1-8,1-4,1-2}/{0,1,2}.txt). Deterministic seed —
-# reruns give identical splits. To reproduce the upstream benchmarks
-# bit-exactly, replace these with the split files from an upstream
-# PixelSSL checkout (see tool/random_sublabeled_samples.py docstring).
-python3 "$SCRIPT_DIR/tool/random_sublabeled_samples.py" \
-    VOCdevkit/VOC2012 "$SCRIPT_DIR/sublabeled_prefix" --seed 0
+# The labeled-subset prefix files the scripts/ configs point at
+# (sublabeled_prefix/{1-16,1-8,1-4,1-2}/{0,1,2}.txt) are VENDORED —
+# byte-identical to the upstream PixelSSL benchmark splits (reference:
+# task/sseg/dataset/PascalVOC/sublabeled_prefix/), so mIoU numbers are
+# comparable to the published tables. Only if they are missing, fall back
+# to regenerating statistically-equivalent splits (deterministic seed).
+if [ ! -f "$SCRIPT_DIR/sublabeled_prefix/1-8/0.txt" ]; then
+    echo "vendored splits missing — regenerating (NOT benchmark-comparable)"
+    python3 "$SCRIPT_DIR/tool/random_sublabeled_samples.py" \
+        VOCdevkit/VOC2012 "$SCRIPT_DIR/sublabeled_prefix" --seed 0
+fi
 
 echo "done: VOCdevkit/VOC2012 ready"

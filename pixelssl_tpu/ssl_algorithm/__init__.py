@@ -1,49 +1,30 @@
-"""SSL algorithm registry (reference: pixelssl/ssl_algorithm/__init__.py:19-27)."""
+"""SSL algorithm registry (reference: pixelssl/ssl_algorithm/__init__.py:19-27).
 
-from . import ssl_base
+Imports are unconditional: a broken transitive import inside an algorithm
+module must surface as the real ImportError at package import time, not as
+a misleading "Unknown SSL algorithm" later.
+"""
+
+from . import ssl_base  # noqa: F401
 from . import ssl_null
+from . import ssl_mt
+from . import ssl_adv
+from . import ssl_s4l
+from . import ssl_gct
+from . import ssl_cct
+from . import ssl_cutmix
 
 SSL_NULL = ssl_null.SSLNULL.NAME
 
-_MODULES = {SSL_NULL: ssl_null}
-
-
-def _register():
-    """Late imports so partially-built algorithms don't break the package."""
-    global _MODULES
-    try:
-        from . import ssl_mt
-        _MODULES[ssl_mt.SSLMT.NAME] = ssl_mt
-    except ImportError:
-        pass
-    try:
-        from . import ssl_adv
-        _MODULES[ssl_adv.SSLADV.NAME] = ssl_adv
-    except ImportError:
-        pass
-    try:
-        from . import ssl_s4l
-        _MODULES[ssl_s4l.SSLS4L.NAME] = ssl_s4l
-    except ImportError:
-        pass
-    try:
-        from . import ssl_gct
-        _MODULES[ssl_gct.SSLGCT.NAME] = ssl_gct
-    except ImportError:
-        pass
-    try:
-        from . import ssl_cct
-        _MODULES[ssl_cct.SSLCCT.NAME] = ssl_cct
-    except ImportError:
-        pass
-    try:
-        from . import ssl_cutmix
-        _MODULES[ssl_cutmix.SSLCUTMIX.NAME] = ssl_cutmix
-    except ImportError:
-        pass
-
-
-_register()
+_MODULES = {
+    ssl_null.SSLNULL.NAME: ssl_null,
+    ssl_mt.SSLMT.NAME: ssl_mt,
+    ssl_adv.SSLADV.NAME: ssl_adv,
+    ssl_s4l.SSLS4L.NAME: ssl_s4l,
+    ssl_gct.SSLGCT.NAME: ssl_gct,
+    ssl_cct.SSLCCT.NAME: ssl_cct,
+    ssl_cutmix.SSLCUTMIX.NAME: ssl_cutmix,
+}
 
 SSL_ALGORITHMS = sorted(_MODULES.keys())
 

@@ -320,7 +320,7 @@ class SSLBase(object):
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, {'state': jax.device_get(self.state),
                               'epoch': np.asarray(epoch),
-                              'algorithm_id': np.asarray(_algo_id(self.NAME))})
+                              'algorithm_name': _encode_name(self.NAME)})
         logger.log_info('Saved checkpoint: {0}'.format(path))
         return path
 
@@ -329,19 +329,32 @@ class SSLBase(object):
         path = os.path.abspath(path or self.args.resume)
         template = {'state': jax.device_get(self.state),
                     'epoch': np.asarray(0),
-                    'algorithm_id': np.asarray(0)}
+                    'algorithm_name': _encode_name('')}
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(path, template)
-        if int(restored['algorithm_id']) != _algo_id(self.NAME):
-            logger.log_err('Checkpoint at {0} was saved by a different SSL '
-                           'algorithm (guard mismatch, expected `{1}`)'
-                           .format(path, self.NAME))
+        saved_name = _decode_name(restored['algorithm_name'])
+        if saved_name != self.NAME:
+            logger.log_err('Checkpoint at {0} was saved by SSL algorithm '
+                           '`{1}`, expected `{2}` '
+                           '(reference guard: ssl_null.py:206-218)'
+                           .format(path, saved_name, self.NAME))
         self.state = parallel.replicate(restored['state'], self.ctx.mesh)
         logger.log_info('Loaded checkpoint: {0} (epoch {1})'.format(
             path, int(restored['epoch'])))
         return int(restored['epoch'])
 
 
-def _algo_id(name):
-    """Stable small-int id of an algorithm name (checkpoint guard)."""
-    return sum((i + 1) * ord(c) for i, c in enumerate(name)) % 1000003
+_NAME_BYTES = 64
+
+
+def _encode_name(name):
+    """Algorithm name as a fixed-width uint8 array so the string itself
+    rides inside the orbax pytree (checkpoint guard, reference
+    ssl_null.py:206-218 compares names by equality)."""
+    raw = name.encode('utf-8')[:_NAME_BYTES]
+    return np.frombuffer(raw.ljust(_NAME_BYTES, b'\0'), np.uint8).copy()
+
+
+def _decode_name(arr):
+    return bytes(np.asarray(arr, np.uint8).tobytes()).rstrip(b'\0').decode(
+        'utf-8', 'replace')
