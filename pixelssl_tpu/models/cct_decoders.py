@@ -84,6 +84,10 @@ def guided_cutout_mask(main_pred, rng, erase, resize):
 
     Device-friendly stand-in for the reference's per-contour cv2 version
     (ssl_cct.py:623-646): one bounding box per sample from mask extents.
+    Measured deviation (tests/test_cct_cutout_parity.py): single-object
+    masks match the reference's mean erase area within 15%; multi-object
+    masks erase ~3x more (union bbox vs per-contour bboxes) — same
+    augmentation family, stronger cutout.
     """
     masks = _foreground_mask(main_pred)[..., 0]  # [B,H,W]
     b, h, w = masks.shape

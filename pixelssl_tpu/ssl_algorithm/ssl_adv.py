@@ -245,3 +245,26 @@ class SSLADV(SSLBase):
         resulter, _ = self.model.apply(variables, inp, train=False)
         loss_vec = self.criterion(resulter['pred'], gt, inp)
         return {self.NAME: (resulter['activated_pred'], loss_vec)}
+
+    def _debug_visualize(self, batch, out_path):
+        """FC-discriminator confidence maps for the first labeled and first
+        unlabeled sample (reference ssl_adv.py:393-408)."""
+        from .ssl_base import save_gray_map
+
+        if self._debug_viz_fn is None:
+            def fn(state, batch):
+                variables = {'params': state['model']['params'],
+                             'batch_stats': state['model']['batch_stats']}
+                resulter, _ = self.model.apply(variables, batch['inp'],
+                                               train=False)
+                act = resulter['activated_pred'][0]
+                logits = self.d_module.apply(
+                    {'params': state['d_model']['params']}, act)
+                return jax.nn.sigmoid(logits)
+            self._debug_viz_fn = jax.jit(fn)
+        cmap = jax.device_get(self._debug_viz_fn(self.state, batch))
+        save_gray_map(cmap[:1], out_path + '_labeled-cmap.png')
+        ubs = self.ctx.ubs_local or 0
+        if ubs > 0:  # first unlabeled sample of device 0's labeled-first block
+            u0 = self.ctx.lbs_local
+            save_gray_map(cmap[u0:u0 + 1], out_path + '_unlabeled-cmap.png')

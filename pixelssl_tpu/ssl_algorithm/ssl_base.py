@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils import logger
+from ..utils import logger, profiler
 from ..utils.logger import AvgMeterSet
 from ..task_template.func import METRIC_STR
 from .. import parallel
@@ -74,6 +74,7 @@ class SSLBase(object):
         self.state = None
         self._train_step = None   # jitted shard_map'd step
         self._eval_step = None    # jitted eval fn
+        self._debug_viz_fn = None  # lazily-jitted debug forward
         self.meters = AvgMeterSet()
 
     # ------------------------------------------------------------------
@@ -118,6 +119,11 @@ class SSLBase(object):
         loss_vec)} — one entry per model to score (e.g. MT scores both the
         student and the EMA teacher, reference ssl_mt.py:226-290)."""
         raise NotImplementedError
+
+    def _debug_visualize(self, batch, out_path):
+        """Algorithm-specific train-time debug dumps next to the standard
+        inp/pred/gt PNGs (reference: D confidence maps ssl_adv.py:393-408,
+        GCT flawmaps/pseudo-GT ssl_gct.py:486-499). Base: nothing."""
 
     def _make_eval_step(self):
         # eval uses running BN stats → no named collectives; plain jit.
@@ -175,10 +181,12 @@ class SSLBase(object):
         self.meters.reset()
         args = self.args
         n_batches = len(data_loader)
+        prof = profiler.ProfileWindow(args, epoch)
         t0 = time.time()
         last_logged = 0
         for idx, batch in enumerate(data_loader):
             data_time = time.time() - t0
+            prof.tick(idx, self.state)
             self.state, metrics = self._train_step(self.state, batch)
             if (getattr(args, 'visualize', False) and
                     getattr(args, 'visual_train_path', '') and
@@ -187,14 +195,15 @@ class SSLBase(object):
                 # (reference visualizes from the train forward itself,
                 # e.g. ssl_null.py:224-229)
                 outputs = self._eval_step(self.state, batch)
+                out = os.path.join(args.visual_train_path,
+                                   '{0}_{1}'.format(epoch, idx))
                 for model_id, (activated_pred, _) in outputs.items():
-                    out = os.path.join(args.visual_train_path,
-                                       '{0}_{1}'.format(epoch, idx))
                     self.ctx.task_func.visualize(
                         out, id_str=model_id,
                         inp=tuple(a[:1] for a in batch['inp']),
                         pred=tuple(a[:1] for a in activated_pred),
                         gt=tuple(a[:1] for a in batch['gt']))
+                self._debug_visualize(batch, out)
             if (idx + 1) % args.log_freq == 0 or idx == n_batches - 1:
                 # device sync only at log boundaries — keeps the step
                 # pipeline free of per-iteration host round-trips
@@ -214,6 +223,7 @@ class SSLBase(object):
                     phase='train', epoch=epoch, iter=idx + 1,
                     algorithm=self.NAME))
                 t0 = time.time()
+        prof.close(self.state)
         return self.meters
 
     def _train_multi(self, data_loader, epoch):
@@ -223,8 +233,10 @@ class SSLBase(object):
         args = self.args
         n = self._steps_per_dispatch
         n_batches = len(data_loader)
+        prof = profiler.ProfileWindow(args, epoch)
         chunk = []
         done = 0
+        dispatch_idx = 0
         t0 = time.time()
         for batch in data_loader:
             chunk.append(batch)
@@ -232,6 +244,8 @@ class SSLBase(object):
                 continue
             last_batch = chunk[-1]
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
+            prof.tick(dispatch_idx, self.state)
+            dispatch_idx += 1
             self.state, metrics = self._multi_step(self.state, stacked)
             done += len(chunk)
             chunk = []
@@ -239,14 +253,15 @@ class SSLBase(object):
                     getattr(args, 'visual_train_path', '') and
                     done % max(1, args.visual_freq) < n):
                 outputs = self._eval_step(self.state, last_batch)
+                out = os.path.join(args.visual_train_path,
+                                   '{0}_{1}'.format(epoch, done))
                 for model_id, (activated_pred, _) in outputs.items():
-                    out = os.path.join(args.visual_train_path,
-                                       '{0}_{1}'.format(epoch, done))
                     self.ctx.task_func.visualize(
                         out, id_str=model_id,
                         inp=tuple(a[:1] for a in last_batch['inp']),
                         pred=tuple(a[:1] for a in activated_pred),
                         gt=tuple(a[:1] for a in last_batch['gt']))
+                self._debug_visualize(last_batch, out)
             if done % max(args.log_freq, n) < n or done >= n_batches:
                 metrics = jax.device_get(metrics)
                 self.meters.update_dict(
@@ -256,6 +271,7 @@ class SSLBase(object):
                         epoch, done, n_batches,
                         '  '.join('{0}: {1:.5f}'.format(k, float(np.asarray(v)))
                                   for k, v in sorted(metrics.items()))))
+        prof.close(self.state)
         # leftover batches (< n): single-step path
         for batch in chunk:
             self.state, metrics = self._train_step(self.state, batch)
@@ -312,10 +328,11 @@ class SSLBase(object):
     # checkpointing (orbax pytree + algorithm-name guard)
     # ------------------------------------------------------------------
 
-    def save_checkpoint(self, epoch):
+    def save_checkpoint(self, epoch, path=None):
         import orbax.checkpoint as ocp
-        path = os.path.join(self.args.checkpoint_path,
-                            'checkpoint_{0}'.format(epoch))
+        if path is None:
+            path = os.path.join(self.args.checkpoint_path,
+                                'checkpoint_{0}'.format(epoch))
         path = os.path.abspath(path)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, {'state': jax.device_get(self.state),
@@ -342,6 +359,17 @@ class SSLBase(object):
         logger.log_info('Loaded checkpoint: {0} (epoch {1})'.format(
             path, int(restored['epoch'])))
         return int(restored['epoch'])
+
+
+def save_gray_map(arr, path):
+    """Save a [1,H,W,1]/[H,W]-like 0-1 map as an L-mode PNG (the format the
+    reference uses for D confidence maps / flawmaps, ssl_adv.py:402-408)."""
+    from PIL import Image
+    a = np.asarray(jax.device_get(arr)).astype(np.float32)
+    while a.ndim > 2:
+        a = a[0] if a.shape[0] == 1 else a[..., 0]
+    Image.fromarray((np.clip(a, 0.0, 1.0) * 255).astype('uint8'),
+                    mode='L').save(path)
 
 
 _NAME_BYTES = 64

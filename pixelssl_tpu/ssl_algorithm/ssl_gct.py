@@ -408,3 +408,46 @@ class SSLGCT(SSLBase):
             loss_vec = criterion(resulter['pred'], gt, inp)
             out[mid] = (resulter['activated_pred'], loss_vec)
         return out
+
+    def _debug_visualize(self, batch, out_path):
+        """Flawmaps, FD ground truth and DC pseudo-GT for both task models
+        (reference ssl_gct.py:486-499)."""
+        from .ssl_base import save_gray_map
+
+        if self._debug_viz_fn is None:
+            def fn(state, batch):
+                inp, gt = batch['inp'], batch['gt']
+                im_size = inp[0].shape[1]
+                fd_state = {'params': state['fd_model']['params'],
+                            'batch_stats': state['fd_model']['batch_stats']}
+                maps, acts = {}, {}
+                for mid, key, model in (('l', 'l_model', self.l_model),
+                                        ('r', 'r_model', self.r_model)):
+                    variables = {'params': state[key]['params'],
+                                 'batch_stats': state[key]['batch_stats']}
+                    resulter, _ = model.apply(variables, inp, train=False)
+                    act = resulter['activated_pred'][0]
+                    acts[mid] = act
+                    flawmap, _ = self._fd_apply(fd_state, inp, act,
+                                                train=False)
+                    maps[mid + '_fmap'] = flawmap_handler(flawmap, im_size)
+                    gt_enc = self.ctx.task_func.\
+                        sslgct_prepare_task_gt_for_fdgt(gt[0])
+                    maps[mid + '_fmap_gt'] = fdgt_generator(
+                        act, gt_enc, im_size, self.args.mu, self.args.nu)
+                if self.args.ssl_mode in (MODE_GCT, MODE_DC):
+                    l_dc, r_dc, _, _ = dcgt_generator(
+                        acts['l'], acts['r'], maps['l_fmap'], maps['r_fmap'],
+                        self.args.dc_threshold)
+                    maps['l_dc_gt'], maps['r_dc_gt'] = l_dc, r_dc
+                return maps
+            self._debug_viz_fn = jax.jit(fn)
+        maps = jax.device_get(self._debug_viz_fn(self.state, batch))
+        for mid in ('l', 'r'):
+            save_gray_map(maps[mid + '_fmap'][:1],
+                          out_path + '_{0}-fmap.png'.format(mid))
+            save_gray_map(maps[mid + '_fmap_gt'][:1],
+                          out_path + '_{0}-fmap-gt.png'.format(mid))
+            if mid + '_dc_gt' in maps:
+                self.ctx.task_func.visualize_pseudo_gt(
+                    maps[mid + '_dc_gt'][:1], out_path, id_str=mid)

@@ -55,6 +55,18 @@ def add_parser_arguments(parser):
                         help='exp - shard each validation image\'s height over '
                              'the mesh (GSPMD halo exchange; for images too '
                              'large for one chip — TPU build addition)')
+    parser.add_argument('--profile-dir', type=str, default='', metavar='',
+                        help='exp - dump a jax.profiler trace of training '
+                             'steps [1, 1+profile-steps] of epoch 0 to this '
+                             'directory (TPU build addition)')
+    parser.add_argument('--profile-steps', type=int, default=10, metavar='',
+                        help='exp - number of steps captured by --profile-dir')
+    parser.add_argument('--exact-val', type=cmd.str2bool, default=False, metavar='',
+                        help='exp - exact reference validation protocol: '
+                             'batch 1, unpadded original image size '
+                             '(reference proxy.py:402-403). Recompiles per '
+                             'distinct shape — use for fidelity rescoring, '
+                             'not in-training validation')
 
     # dataset / dataloader arguments
     parser.add_argument('--trainset', type=yaml.full_load, default={}, metavar='', help='data - {dataset_type: [paths]}')
@@ -123,6 +135,15 @@ class TaskProxy(object):
         args = self.args
         start_epoch = 0
         if args.resume:
+            if not os.path.exists(args.resume):
+                logger.log_err(
+                    'Cannot find checkpoint to resume: {0}\nThe benchmark '
+                    'scripts default to rescoring a pretrained checkpoint '
+                    '(reference script/*.py:24-25). Produce it with '
+                    '`python scripts/rescore.py <script> --torch-ckpt '
+                    '<reference .ckpt>`, or override '
+                    "('validation', False), ('resume', '') to train from "
+                    'scratch.'.format(args.resume))
             start_epoch = self.ssl_algorithm.load_checkpoint(args.resume)
 
         if args.validation:
@@ -287,9 +308,11 @@ class TaskProxy(object):
             valset = nndata.JointDatasetsWrapper(valsets, [], ignore_unlabeled=True)
         if valset is not None:
             spatial = bool(getattr(args, 'spatial_val', False))
+            exact = bool(getattr(args, 'exact_val', False))
             self.val_loader = _ValLoader(
-                valset, 1 if spatial else max(1, n_dev), self.mesh,
-                getattr(args, 'ignore_index', 255), spatial=spatial)
+                valset, 1 if (spatial or exact) else max(1, n_dev), self.mesh,
+                getattr(args, 'ignore_index', 255), spatial=spatial,
+                exact=exact)
 
         if self.train_loader is None and not args.validation:
             logger.log_err('Train data loader is required unless validation mode')
@@ -373,7 +396,7 @@ class _ValLoader(object):
     exactly once while shapes stay static for XLA."""
 
     def __init__(self, dataset, batch_size, mesh, ignore_index=255,
-                 spatial=False):
+                 spatial=False, exact=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.mesh = mesh
@@ -382,8 +405,18 @@ class _ValLoader(object):
         # the batch axis (parallel/spatial.py) — batch_size is 1 and H is
         # padded to a mesh multiple
         self.spatial = spatial
+        # exact mode: the reference validation protocol verbatim — batch 1,
+        # no bucketing, no padding (reference proxy.py:402-403). Every
+        # distinct image shape recompiles; batches are replicated over the
+        # mesh (redundant compute, exact numbers).
+        self.exact = exact
 
     def _put(self, batch):
+        if self.exact:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            return jax.tree.map(lambda x: jax.device_put(np.asarray(x), rep),
+                                batch)
         if not self.spatial:
             return parallel.shard_batch(batch, self.mesh)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -449,6 +482,13 @@ class _ValLoader(object):
 
     def __iter__(self):
         n = len(self.dataset)
+        if self.exact:
+            for i in range(n):
+                inp, gt = self.dataset[i]
+                inp = tuple(np.asarray(a)[None] for a in inp)
+                gt = tuple(np.asarray(g)[None] for g in gt)
+                yield self._put({'inp': inp, 'gt': gt})
+            return
         for start in range(0, n, self.batch_size):
             idxs = list(range(start, min(start + self.batch_size, n)))
             samples = [self.dataset[i] for i in idxs]

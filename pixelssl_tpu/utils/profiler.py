@@ -30,6 +30,45 @@ def trace(log_dir, enabled=True):
         logger.log_info('profiler: trace saved to {0}'.format(log_dir))
 
 
+class ProfileWindow(object):
+    """Traces a window of training steps when ``--profile-dir`` is set.
+
+    Skips the first step/dispatch (compile), then captures
+    ``--profile-steps`` steps of epoch 0 and stops. ``tick`` is called
+    with the step (or dispatch) index before each device call; ``close``
+    guarantees the trace is finalized at epoch end.
+    """
+
+    def __init__(self, args, epoch):
+        self.dir = getattr(args, 'profile_dir', '') or ''
+        self.n = max(1, getattr(args, 'profile_steps', 10) or 10)
+        self.enabled = bool(self.dir) and epoch == 0
+        self.active = False
+
+    def tick(self, idx, state):
+        if not self.enabled:
+            return
+        if not self.active and idx == 1:
+            jax.block_until_ready(state)
+            jax.profiler.start_trace(self.dir)
+            logger.log_info('profiler: tracing steps [1, {0}] to {1}'.format(
+                self.n, self.dir))
+            self.active = True
+        elif self.active and idx == 1 + self.n:
+            self._stop(state)
+
+    def close(self, state):
+        if self.active:
+            self._stop(state)
+
+    def _stop(self, state):
+        jax.block_until_ready(state)
+        jax.profiler.stop_trace()
+        self.active = False
+        self.enabled = False
+        logger.log_info('profiler: trace saved to {0}'.format(self.dir))
+
+
 class StepTimer(object):
     """Measures device-step wall time excluding host input time.
 

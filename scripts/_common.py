@@ -2,9 +2,11 @@
 
 The 17 experiment scripts reproduce the reference's benchmark
 configurations (hyperparameters from task/sseg/script/*.py); each script
-only states its deltas from this base. Set ('resume', '<ckpt>') and
-('validation', True) to rescore a checkpoint like the reference's
-out-of-the-box behavior.
+only states its deltas from this base. Like the reference, every script
+defaults to VALIDATION mode against `pretrained/<exp_id>.ckpt`
+(script/*.py:24-25); use scripts/rescore.py to convert a published torch
+checkpoint into that path, or override ('validation', False),
+('resume', '') in deltas to train from scratch.
 """
 
 import collections
@@ -25,9 +27,15 @@ def base_config(script_file, model, ssl_algorithm, epochs,
         ('exp_id', os.path.basename(script_file).split('.')[0]),
         ('ssl_algorithm', ssl_algorithm),
 
-        # exp
-        ('resume', ''),
-        ('validation', False),
+        # exp — out-of-the-box the scripts RESCORE a pretrained checkpoint,
+        # like the reference (task/sseg/script/*.py:24-25). Produce the
+        # orbax checkpoint from a published torch .ckpt with
+        # `python scripts/rescore.py <script> --torch-ckpt <file>`; override
+        # ('validation', False), ('resume', '') in deltas to train.
+        ('resume', 'pretrained/{0}.ckpt'.format(
+            os.path.basename(script_file).split('.')[0])),
+        ('validation', True),
+        ('exact_val', True),
         ('out_path', 'result'),
         ('visualize', False),
         ('debug', False),

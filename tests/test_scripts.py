@@ -10,7 +10,8 @@ import pytest
 SCRIPTS_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'scripts')
 SCRIPTS = sorted(f for f in os.listdir(SCRIPTS_DIR)
-                 if f.endswith('.py') and not f.startswith('_'))
+                 if f.endswith('.py') and not f.startswith('_')
+                 and f != 'rescore.py')
 
 
 def _load_config(path):

@@ -60,3 +60,46 @@ def test_visualization_writes_pngs(tmp_path):
         im = Image.open(p)
         im.verify()
         assert Image.open(p).size == (32, 32)
+
+
+def _debug_viz_run(tmp_path, algo_name, extra):
+    """Train 1 epoch with --visualize through the harness-level loop."""
+    import numpy as np
+    from pixelssl_tpu import harness, parallel
+
+    mesh = parallel.make_mesh()
+    n = mesh.devices.size
+    viz_dir = tmp_path / 'debugviz'
+    viz_dir.mkdir()
+    base = dict(backbone='resnet10', im_size=32, num_classes=5,
+                batch_size=2 * n, unlabeled_batch_size=1 * n,
+                ignore_unlabeled=False, lr=0.01, momentum=0.9, epochs=1,
+                visualize=True, visual_freq=1, log_freq=10,
+                visual_train_path=str(viz_dir))
+    base.update(extra)
+    args = harness.default_args(algo_name, **base)
+    algo = harness.build_algorithm(args, mesh=mesh)
+    batches = [harness.synthetic_batch(args, mesh, seed=s) for s in range(2)]
+    algo.train(batches, epoch=0)
+    return [p.name for p in viz_dir.iterdir()]
+
+
+def test_adv_debug_visualization(tmp_path):
+    """AdvSSL dumps D confidence maps (reference ssl_adv.py:393-408)."""
+    names = ' '.join(_debug_viz_run(
+        tmp_path, 'ssl_adv',
+        dict(adv_for_labeled=True, labeled_adv_scale=0.01,
+             unlabeled_adv_scale=0.001)))
+    assert 'labeled-cmap' in names
+    assert 'unlabeled-cmap' in names
+
+
+def test_gct_debug_visualization(tmp_path):
+    """GCT dumps flawmaps, FD-GT and DC pseudo-GT (ssl_gct.py:486-499)."""
+    names = ' '.join(_debug_viz_run(
+        tmp_path, 'ssl_gct',
+        dict(im_size=64, ssl_mode='gct', fc_ssl_scale=1.0, dc_ssl_scale=1.0,
+             dc_threshold=0.5, dc_rampup_epochs=1, mu=0.5, nu=1)))
+    for token in ('l-fmap.png', 'r-fmap.png', 'l-fmap-gt', 'r-fmap-gt',
+                  'l-pseudo-gt', 'r-pseudo-gt'):
+        assert token in names, 'missing debug dump: ' + token
