@@ -52,6 +52,11 @@ def add_parser_arguments(parser):
                         help='optimizer - adam beta2')
     parser.add_argument('--amsgrad', type=cmd.str2bool, default=False, metavar='',
                         help='optimizer - enable amsgrad (adam / wdadam)')
+    parser.add_argument('--bf16-opt-state', type=cmd.str2bool, default=False,
+                        metavar='',
+                        help='optimizer - store momentum/Adam-moment state '
+                             'in bf16 (halves optimizer HBM traffic; update '
+                             'math stays fp32 — TPU build addition)')
 
 
 def _default(value, default):
@@ -80,16 +85,47 @@ class OptimizerFactory(object):
     pytree (from the task model's param-group spec) are known.
     """
 
-    def __init__(self, name, build_fn, base_lr):
+    def __init__(self, name, build_fn, base_lr, bf16_state=False):
         self.name = name
         self._build_fn = build_fn
         self.base_lr = base_lr
+        self.bf16_state = bf16_state
 
     def make(self, lr_schedule, lr_mult=None):
         tx = self._build_fn(lr_schedule)
         if lr_mult is not None:
             tx = optax.chain(tx, _scale_by_lr_mult(lr_mult))
+        if self.bf16_state:
+            tx = _bf16_state(tx)
         return tx
+
+
+def _bf16_state(inner):
+    """Store the inner transform's float state (momentum traces, Adam
+    moments) in bf16 — halves optimizer-state HBM traffic, which round-1
+    profiling measured at ~13% of the fused step together with the EMA
+    (BASELINE.md). The update math still runs in fp32: state is upcast on
+    entry and rounded back on exit. Opt-in via --bf16-opt-state; off by
+    default for exact torch-parity semantics.
+    """
+
+    def _down(x):
+        return (x.astype(jnp.bfloat16)
+                if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x)
+
+    def _up(x):
+        return (x.astype(jnp.float32)
+                if hasattr(x, 'dtype') and x.dtype == jnp.bfloat16 else x)
+
+    def init_fn(params):
+        return jax.tree.map(_down, inner.init(params))
+
+    def update_fn(updates, state, params=None):
+        out, new_state = inner.update(
+            updates, jax.tree.map(_up, state), params)
+        return out, jax.tree.map(_down, new_state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _torch_momentum(decay, dampening=0.0, nesterov=False):
@@ -142,7 +178,8 @@ def sgd(args):
         parts.append(optax.scale_by_learning_rate(lr_schedule))
         return optax.chain(*parts)
 
-    return OptimizerFactory('sgd', build, lr)
+    return OptimizerFactory('sgd', build, lr,
+                            bf16_state=getattr(args, 'bf16_opt_state', False))
 
 
 def rmsprop(args):
@@ -169,7 +206,8 @@ def rmsprop(args):
         parts.append(optax.scale_by_learning_rate(lr_schedule))
         return optax.chain(*parts)
 
-    return OptimizerFactory('rmsprop', build, lr)
+    return OptimizerFactory('rmsprop', build, lr,
+                            bf16_state=getattr(args, 'bf16_opt_state', False))
 
 
 def adam(args):
@@ -190,7 +228,8 @@ def adam(args):
         parts.append(optax.scale_by_learning_rate(lr_schedule))
         return optax.chain(*parts)
 
-    return OptimizerFactory('adam', build, lr)
+    return OptimizerFactory('adam', build, lr,
+                            bf16_state=getattr(args, 'bf16_opt_state', False))
 
 
 def wdadam(args):
@@ -222,7 +261,8 @@ def wdadam(args):
         parts.append(optax.scale_by_learning_rate(lr_schedule))
         return optax.chain(*parts)
 
-    return OptimizerFactory('wdadam', build, lr)
+    return OptimizerFactory('wdadam', build, lr,
+                            bf16_state=getattr(args, 'bf16_opt_state', False))
 
 
 _REGISTRY = {'sgd': sgd, 'rmsprop': rmsprop, 'adam': adam, 'wdadam': wdadam}

@@ -361,6 +361,25 @@ class SSLBase(object):
         return int(restored['epoch'])
 
 
+def ema_update(t_params, s_params, decay):
+    """EMA teacher update in fp32 math regardless of storage dtype; the
+    result is rounded back to the teacher's storage dtype (bf16 under
+    --bf16-ema, halving EMA HBM traffic; fp32 default for exact parity)."""
+    return jax.tree.map(
+        lambda t, s: (decay * t.astype(jnp.float32) +
+                      (1.0 - decay) * s.astype(jnp.float32)).astype(t.dtype),
+        t_params, s_params)
+
+
+def maybe_bf16(tree, enabled):
+    """Cast float32 leaves to bf16 when enabled (teacher EMA storage)."""
+    if not enabled:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x, tree)
+
+
 def save_gray_map(arr, path):
     """Save a [1,H,W,1]/[H,W]-like 0-1 map as an L-mode PNG (the format the
     reference uses for D confidence maps / flawmaps, ssl_adv.py:402-408)."""

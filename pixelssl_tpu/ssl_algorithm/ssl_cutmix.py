@@ -30,7 +30,7 @@ from ..ops.boxmask import box_masks
 from ..utils import cmd, logger
 from ..utils.constant import CLASSIFICATION
 from ..task_template.model import check_resulter
-from .ssl_base import SSLBase, TaskContext
+from .ssl_base import SSLBase, TaskContext, ema_update, maybe_bf16
 
 
 def add_parser_arguments(parser):
@@ -45,6 +45,9 @@ def add_parser_arguments(parser):
                         help='sslcutmix - confidence threshold')
     parser.add_argument('--ema-decay', type=float, default=0.99,
                         help='sslcutmix - teacher EMA decay')
+    parser.add_argument('--bf16-ema', type=cmd.str2bool, default=False,
+                        help='sslcutmix - store the EMA teacher in bf16 '
+                             '(TPU build addition)')
     parser.add_argument('--mask-prop-range', type=cmd.str2floatlist,
                         default='(0.5, 0.5)', help='sslcutmix - mixing ratio range')
 
@@ -97,7 +100,9 @@ class SSLCUTMIX(SSLBase):
                                          self.model.lr_mult(params))
         return {
             'model': {'params': params, 'batch_stats': batch_stats},
-            'teacher': {'params': jax.tree.map(jnp.copy, params),
+            'teacher': {'params': maybe_bf16(
+                jax.tree.map(jnp.copy, params),
+                getattr(self.args, 'bf16_ema', False)),
                         'batch_stats': jax.tree.map(jnp.copy, batch_stats)},
             'opt': self.tx.init(params),
         }
@@ -179,8 +184,7 @@ class SSLCUTMIX(SSLBase):
             self.tx, state['model']['params'], grads, state['opt'])
 
         decay = jnp.minimum(1.0 - 1.0 / (cur_step + 1.0), args.ema_decay)
-        t_params = jax.tree.map(lambda t, s: decay * t + (1.0 - decay) * s,
-                                state['teacher']['params'], params)
+        t_params = ema_update(state['teacher']['params'], params, decay)
 
         new_state = dict(state)
         new_state['model'] = {'params': params,

@@ -30,7 +30,7 @@ from ..nn.module import gaussian_noise
 from ..utils import cmd, logger
 from ..utils.constant import REGRESSION, CLASSIFICATION
 from ..task_template.model import check_resulter
-from .ssl_base import SSLBase, TaskContext
+from .ssl_base import SSLBase, TaskContext, ema_update, maybe_bf16
 
 
 def add_parser_arguments(parser):
@@ -43,6 +43,10 @@ def add_parser_arguments(parser):
                         help='sslmt - consistency ramp-up epochs')
     parser.add_argument('--ema-decay', type=float, default=0.999,
                         help='sslmt - teacher EMA decay')
+    parser.add_argument('--bf16-ema', type=cmd.str2bool, default=False,
+                        help='sslmt - store the EMA teacher in bf16 '
+                             '(halves EMA HBM traffic; forward compute '
+                             'is bf16 anyway — TPU build addition)')
     parser.add_argument('--gaussian-noise-std', type=float, default=None,
                         help='sslmt - std of input gaussian noise (None disables)')
 
@@ -87,7 +91,9 @@ class SSLMT(SSLBase):
                                          self.model.lr_mult(params))
         return {
             'model': {'params': params, 'batch_stats': batch_stats},
-            'teacher': {'params': jax.tree.map(jnp.copy, params),
+            'teacher': {'params': maybe_bf16(
+                jax.tree.map(jnp.copy, params),
+                getattr(self.args, 'bf16_ema', False)),
                         'batch_stats': jax.tree.map(jnp.copy, batch_stats)},
             'opt': self.tx.init(params),
         }
@@ -164,8 +170,7 @@ class SSLMT(SSLBase):
 
         # EMA teacher update (reference ssl_mt.py:359-363) — one tree_map
         decay = jnp.minimum(1.0 - 1.0 / (cur_step + 1.0), args.ema_decay)
-        t_params = jax.tree.map(lambda t, s: decay * t + (1.0 - decay) * s,
-                                state['teacher']['params'], params)
+        t_params = ema_update(state['teacher']['params'], params, decay)
 
         new_state = dict(state)
         new_state['model'] = {'params': params,

@@ -1,26 +1,49 @@
 """--profile-dir wiring: a training window must dump a jax.profiler trace
-(VERDICT r1 weak #2 — the flag the profiler docstring promises)."""
+(VERDICT r1 weak #2 — the flag the profiler docstring promises).
+
+Runs in a subprocess: jax.profiler.start_trace links against a per-process
+TSL profiler session that can CHECK-fail (process abort) when other tests
+have exercised the runtime first; isolation keeps the suite immune.
+"""
 
 import glob
 import os
+import subprocess
+import sys
+
+_PROBE = '''
+import os
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+import jax
+jax.config.update('jax_platforms', 'cpu')
 
 from pixelssl_tpu import harness, parallel
 
+mesh = parallel.make_mesh()
+n = mesh.devices.size
+args = harness.default_args(
+    'ssl_null', backbone='resnet10', im_size=32, num_classes=5,
+    batch_size=2 * n, unlabeled_batch_size=0, ignore_unlabeled=True,
+    lr=0.01, momentum=0.9, epochs=1,
+    profile_dir=PROFILE_DIR, profile_steps=2, log_freq=100)
+algo = harness.build_algorithm(args, mesh=mesh)
+batches = [harness.synthetic_batch(args, mesh, seed=s) for s in range(4)]
+algo.train(batches, epoch=0)
+print('TRAIN_OK')
+'''
+
 
 def test_profile_dir_writes_trace(tmp_path):
-    mesh = parallel.make_mesh()
-    n = mesh.devices.size
-    args = harness.default_args(
-        'ssl_null', backbone='resnet10', im_size=32, num_classes=5,
-        batch_size=2 * n, unlabeled_batch_size=0, ignore_unlabeled=True,
-        lr=0.01, momentum=0.9, epochs=1,
-        profile_dir=str(tmp_path / 'trace'), profile_steps=2, log_freq=100)
-    algo = harness.build_algorithm(args, mesh=mesh)
+    trace_dir = str(tmp_path / 'trace')
+    probe = tmp_path / 'probe.py'
+    probe.write_text(_PROBE.replace('PROFILE_DIR', repr(trace_dir)))
+    env = dict(os.environ, PYTHONPATH='/root/repo')
+    out = subprocess.run([sys.executable, str(probe)], capture_output=True,
+                         text=True, env=env, timeout=540)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert 'TRAIN_OK' in out.stdout
 
-    batches = [harness.synthetic_batch(args, mesh, seed=s) for s in range(4)]
-    algo.train(batches, epoch=0)
-
-    traces = glob.glob(str(tmp_path / 'trace' / '**' / '*.trace.json.gz'),
+    traces = glob.glob(os.path.join(trace_dir, '**', '*.trace.json.gz'),
                        recursive=True)
-    assert traces, 'no trace file written under ' + str(tmp_path / 'trace')
+    assert traces, 'no trace file written under ' + trace_dir
     assert os.path.getsize(traces[0]) > 0
