@@ -11,14 +11,26 @@
 // the shared library is unavailable.
 //
 // Build: make -C pixelssl_tpu/native  (produces libpixelssl_augment.so)
+//
+// decode_augment_batch additionally pulls JPEG (libjpeg) and PNG (libpng)
+// decoding into the same C++ pass, so a loader thread's whole
+// file->batch-slot pipeline runs outside the Python GIL: the torch
+// DataLoader sidesteps the GIL with worker *processes* and pays pickling
+// for every batch; here ctypes releases the GIL for the duration of the
+// call and the decoded pixels never exist as Python objects at all.
 
 #include <algorithm>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <atomic>
 #include <thread>
 #include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
 
 namespace {
 
@@ -90,9 +102,149 @@ void run_job(const AugmentJob& j) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// decoding (libjpeg / libpng)
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file to uint8 RGB. Returns empty vector on failure.
+bool decode_jpeg_rgb(const char* path, std::vector<uint8_t>* out,
+                     int* h, int* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // gray/YCbCr sources converted by libjpeg
+  jpeg_start_decompress(&cinfo);
+  *h = cinfo.output_height;
+  *w = cinfo.output_width;
+  out->resize((size_t)*h * *w * 3);
+  const size_t stride = (size_t)*w * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// Decode an 8-bit gray or palette PNG to raw class indices (int32).
+// Palette entries are NOT expanded to RGB — VOC SegmentationClassAug
+// stores the class id as the palette index (reference prepare.sh output).
+bool decode_png_label(const char* path, std::vector<int32_t>* out,
+                      int* h, int* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                           nullptr, nullptr, nullptr);
+  if (!png) { fclose(f); return false; }
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); fclose(f); return false; }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  int color_type = png_get_color_type(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  if (color_type != PNG_COLOR_TYPE_PALETTE &&
+      color_type != PNG_COLOR_TYPE_GRAY) {
+    // labels must be single-channel index maps
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return false;
+  }
+  if (bit_depth < 8) png_set_packing(png);   // 1/2/4-bit -> one byte/pixel
+  if (bit_depth == 16) png_set_strip_16(png);
+  png_read_update_info(png, info);
+  *h = png_get_image_height(png, info);
+  *w = png_get_image_width(png, info);
+  std::vector<uint8_t> raw((size_t)*h * *w);
+  std::vector<png_bytep> rows(*h);
+  for (int y = 0; y < *h; ++y) rows[y] = raw.data() + (size_t)y * *w;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  out->assign(raw.begin(), raw.end());
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Fused decode (JPEG image + optional PNG label) + augment of one sample
+// straight into the caller-provided crop-sized output slots. ctypes
+// releases the GIL around this call, so loader threads calling it run
+// truly in parallel — the Python-side pipeline never touches the pixels.
+// Returns 0 on success, nonzero on decode failure (caller falls back to
+// the PIL path).
+int decode_augment_sample(
+    const char* image_path, const char* label_path,  // label_path may be NULL
+    int resize_h, int resize_w, int crop_y, int crop_x,
+    int flip, int label_fill, int crop_size,
+    float* out_image, int32_t* out_label) {
+  std::vector<uint8_t> img;
+  int h = 0, w = 0;
+  if (!decode_jpeg_rgb(image_path, &img, &h, &w)) return 1;
+  std::vector<int32_t> lbl;
+  int lh = 0, lw = 0;
+  if (label_path != nullptr) {
+    if (!decode_png_label(label_path, &lbl, &lh, &lw)) return 2;
+    if (lh != h || lw != w) return 3;
+  }
+  AugmentJob j{img.data(), label_path ? lbl.data() : nullptr,
+               h, w, resize_h, resize_w, crop_y, crop_x, crop_size,
+               flip, label_fill, out_image, out_label};
+  run_job(j);
+  return 0;
+}
+
+// Header-only size probe (no full decode): JPEG SOF dimensions.
+int jpeg_dims(const char* path, int32_t* h, int32_t* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  *h = cinfo.image_height;
+  *w = cinfo.image_width;
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return 0;
+}
 
 // Fused augment of a whole batch. Arrays are flat; per-sample geometry in
 // the int arrays. Returns 0 on success.

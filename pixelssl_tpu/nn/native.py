@@ -26,11 +26,65 @@ def lib():
     except OSError:
         return None
     l.augment_batch.restype = ctypes.c_int
+    if hasattr(l, 'decode_augment_sample'):
+        l.decode_augment_sample.restype = ctypes.c_int
+        l.decode_augment_sample.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+    if hasattr(l, 'jpeg_dims'):
+        l.jpeg_dims.restype = ctypes.c_int
+        l.jpeg_dims.argtypes = [ctypes.c_char_p,
+                                ctypes.POINTER(ctypes.c_int32),
+                                ctypes.POINTER(ctypes.c_int32)]
     return l
 
 
 def available():
     return lib() is not None
+
+
+def decode_available():
+    l = lib()
+    return l is not None and hasattr(l, 'decode_augment_sample')
+
+
+def jpeg_dims(path):
+    """(h, w) from the JPEG header — no full decode."""
+    l = lib()
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    rc = l.jpeg_dims(path.encode(), ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise IOError('jpeg_dims failed for {0}'.format(path))
+    return int(h.value), int(w.value)
+
+
+def decode_augment_sample(image_path, label_path, resize_hw, crop_yx, flip,
+                          label_fill, crop_size):
+    """Fused C++ JPEG/PNG decode + scale-crop-flip-normalize of ONE sample.
+
+    ctypes drops the GIL for the call, so loader threads parallelize the
+    whole file->tensor path. Returns (float32 [crop,crop,3],
+    int32 [crop,crop]) or None on decode failure (caller falls back to
+    PIL).
+    """
+    l = lib()
+    out_image = np.empty((crop_size, crop_size, 3), np.float32)
+    out_label = np.empty((crop_size, crop_size), np.int32)
+    rc = l.decode_augment_sample(
+        image_path.encode(),
+        label_path.encode() if label_path is not None else None,
+        ctypes.c_int(resize_hw[0]), ctypes.c_int(resize_hw[1]),
+        ctypes.c_int(crop_yx[0]), ctypes.c_int(crop_yx[1]),
+        ctypes.c_int(1 if flip else 0), ctypes.c_int(label_fill),
+        ctypes.c_int(crop_size),
+        out_image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        return None
+    return out_image, out_label
 
 
 def augment_batch(images, labels, resize_hw, crop_yx, flips, label_fills,

@@ -143,20 +143,19 @@ class PascalVocDataset(data_template.TaskDataset):
         self._access_lock = threading.Lock()
         self._access_counts = {}
         self._use_native = False
+        self._dims_cache = {}
         if getattr(args, 'native_augment', False):
             from ...nn import native
-            self._use_native = native.available()
+            self._use_native = native.decode_available()
             if not self._use_native:
                 logger.log_warn('--native-augment set but the library is not '
                                 'built (make -C pixelssl_tpu/native); '
                                 'falling back to PIL')
 
-    def _native_train_item(self, rng, image, label, has_label):
-        """Fused C++ scale-crop-flip-normalize (nn/native.py). Same geometry
-        distribution as random_scale_crop; resize is point-sampled bilinear
-        rather than PIL's antialiased filter."""
-        from ...nn import native
-        w, h = image.size
+    def _geometry(self, rng, h, w):
+        """Random scale-crop-flip parameters — the same draw order and
+        distribution as random_scale_crop + the HFlip coin, so the PIL and
+        native paths are stream-compatible."""
         base, crop = self.args.train_base_size, self.im_size
         short_size = int(rng.integers(int(base * 0.5), int(base * 2.0) + 1))
         if h > w:
@@ -169,29 +168,64 @@ class PascalVocDataset(data_template.TaskDataset):
         y1 = int(rng.integers(0, ph - crop + 1))
         x1 = int(rng.integers(0, pw - crop + 1))
         flip = bool(rng.random() < 0.5)
-        lbl_np = np.asarray(label, np.int32) if label is not None else None
-        fill = 0 if has_label else -1  # pad fill matches the PIL path
-        if not has_label:
-            lbl_np = None
-        imgs, lbls = native.augment_batch(
-            [np.asarray(image, np.uint8)], [lbl_np], [(oh, ow)], [(y1, x1)],
-            [flip], [fill], crop, n_threads=1)
-        return (imgs[0],), (lbls[0],)
+        return (oh, ow), (y1, x1), flip
+
+    def _native_train_item(self, rng, idx, img_path, label_path):
+        """Whole-sample C++ pipeline (nn/native.py decode_augment_sample):
+        JPEG+PNG decode and the fused scale-crop-flip-normalize run in one
+        GIL-free native call, so loader threads parallelize for real (the
+        torch reference needs worker processes for this,
+        pixelssl/task_template/proxy.py:374-380). Geometry distribution
+        matches random_scale_crop; resize is point-sampled bilinear rather
+        than PIL's antialiased filter. Returns None on decode failure."""
+        from ...nn import native
+        dims = self._dims_cache.get(idx)
+        if dims is None:
+            try:
+                dims = native.jpeg_dims(img_path)  # header-only probe
+            except IOError:
+                return None  # unreadable header → PIL fallback
+            with self._access_lock:
+                self._dims_cache[idx] = dims
+        h, w = dims
+        resize_hw, crop_yx, flip = self._geometry(rng, h, w)
+        fill = 0 if label_path is not None else -1  # matches the PIL path
+        out = native.decode_augment_sample(
+            img_path, label_path, resize_hw, crop_yx, flip, fill,
+            self.im_size)
+        if out is None:
+            return None
+        return (out[0],), (out[1],)
 
     def __getitem__(self, idx):
         name = self.sample_list[idx]
-        image = Image.open(os.path.join(self.image_dir, name + '.jpg')).convert('RGB')
+        img_path = os.path.join(self.image_dir, name + '.jpg')
         label_path = os.path.join(self.label_dir, name + '.png')
-        has_label = os.path.exists(label_path) and not self.is_unlabeled(idx)
-        label = Image.open(label_path) if os.path.exists(label_path) else None
+        label_exists = os.path.exists(label_path)
+        has_label = label_exists and not self.is_unlabeled(idx)
+
+        if self.is_train and self._use_native:
+            with self._access_lock:
+                k = self._access_counts.get(idx, 0)
+                self._access_counts[idx] = k + 1
+            rng = np.random.default_rng((self._seed, idx, k))
+            item = self._native_train_item(
+                rng, idx, img_path, label_path if has_label else None)
+            if item is not None:
+                return item
+            # decode failure → fall through to the PIL path (fresh rng
+            # stream index k was consumed; draws below reuse it, which is
+            # fine — the native and PIL streams only need to be internally
+            # consistent)
+
+        image = Image.open(img_path).convert('RGB')
+        label = Image.open(label_path) if label_exists else None
 
         if self.is_train:
             with self._access_lock:
                 k = self._access_counts.get(idx, 0)
                 self._access_counts[idx] = k + 1
             rng = np.random.default_rng((self._seed, idx, k))
-            if self._use_native:
-                return self._native_train_item(rng, image, label, has_label)
             lbl = label if label is not None else image.convert('L')
             image, lbl = random_scale_crop(rng, image, lbl,
                                            self.args.train_base_size, self.im_size)
