@@ -2,3 +2,4 @@ from .mesh import (DATA_AXIS, make_mesh, replicate, shard_batch,
                    reorder_two_stream, pmean_if_parallel, psum_if_parallel,
                    fold_rng, parallel_step, parallel_eval_step,
                    parallel_multi_step, batch_sharding, replicate_sharding)
+from . import multihost

@@ -164,7 +164,7 @@ class SSLBase(object):
 
     def _log_jsonl(self, record):
         path = getattr(self.args, 'checkpoint_path', '')
-        if not path:
+        if not path or jax.process_index() != 0:
             return
         import json
         out = os.path.join(os.path.dirname(path.rstrip('/')), 'metrics.jsonl')
@@ -279,13 +279,27 @@ class SSLBase(object):
         self.meters.update('batch_time', (time.time() - t0) / max(1, done))
         return self.meters
 
+    def _gather_for_host(self, tree):
+        """All-gather batch-sharded device values into fully-replicated
+        arrays so every host can read them with numpy (multi-host runs:
+        a P('data')-sharded global array is not addressable from one
+        process; a jitted identity with replicated out_shardings is the
+        collective gather)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.ctx.mesh, P())
+        shardings = jax.tree.map(lambda _: rep, tree)
+        return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+
     def validate(self, data_loader, epoch):
         # fresh meter set — reset() keeps stale training keys alive, which
         # would leak zero-valued training meters into the val report
         self.meters = AvgMeterSet()
         task_func = self.ctx.task_func
+        multihost = parallel.multihost.is_multihost()
         for idx, batch in enumerate(data_loader):
             outputs = self._eval_step(self.state, batch)
+            if multihost:
+                outputs, batch = self._gather_for_host((outputs, batch))
             valid = batch.get('valid')
             for model_id, (activated_pred, loss_vec) in outputs.items():
                 if valid is not None:
@@ -334,6 +348,10 @@ class SSLBase(object):
             path = os.path.join(self.args.checkpoint_path,
                                 'checkpoint_{0}'.format(epoch))
         path = os.path.abspath(path)
+        if jax.process_index() != 0:
+            # the state is replicated; on multi-host runs only process 0
+            # writes the (host-numpy) checkpoint to avoid shared-FS races
+            return path
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, {'state': jax.device_get(self.state),
                               'epoch': np.asarray(epoch),

@@ -67,6 +67,16 @@ def add_parser_arguments(parser):
                              '(reference proxy.py:402-403). Recompiles per '
                              'distinct shape — use for fidelity rescoring, '
                              'not in-training validation')
+    parser.add_argument('--auto-resume', type=cmd.str2bool, default=False, metavar='',
+                        help='exp - resume from the newest checkpoint in the '
+                             'experiment ckpt dir if one exists (preemption '
+                             'recovery — TPU build addition)')
+    parser.add_argument('--distributed', type=cmd.str2bool, default=False, metavar='',
+                        help='exp - multi-host (TPU pod) run: call '
+                             'jax.distributed.initialize() and shard the '
+                             'input pipeline per host '
+                             '(parallel/multihost.py — TPU build addition; '
+                             'the reference is single-process only)')
 
     # dataset / dataloader arguments
     parser.add_argument('--trainset', type=yaml.full_load, default={}, metavar='', help='data - {dataset_type: [paths]}')
@@ -102,6 +112,24 @@ def add_parser_arguments(parser):
     parser.add_argument('--iters-per-epoch', type=int, default=None, metavar='', help='autoset')
 
 
+def _latest_checkpoint(ckpt_dir):
+    """Newest ``checkpoint_<epoch>`` directory under ``ckpt_dir``, by
+    epoch number; None if the dir is absent/empty."""
+    if not ckpt_dir or not os.path.isdir(ckpt_dir):
+        return None
+    best, best_epoch = None, -1
+    for name in os.listdir(ckpt_dir):
+        if not name.startswith('checkpoint_'):
+            continue
+        try:
+            epoch = int(name.split('_', 1)[1])
+        except ValueError:
+            continue
+        if epoch > best_epoch:
+            best, best_epoch = os.path.join(ckpt_dir, name), epoch
+    return best
+
+
 class TaskProxy(object):
     NAME = 'task'
     TASK_TYPE = None
@@ -112,7 +140,11 @@ class TaskProxy(object):
         self.data = data
         self.model = model
         self.criterion = criterion
-        self.mesh = mesh if mesh is not None else parallel.make_mesh()
+        if mesh is None:
+            # must run before the first jax op so the pod backend forms
+            parallel.multihost.initialize(args)
+            mesh = parallel.make_mesh()
+        self.mesh = mesh
 
         self.train_loader = None
         self.val_loader = None
@@ -134,6 +166,15 @@ class TaskProxy(object):
     def run(self):
         args = self.args
         start_epoch = 0
+        if getattr(args, 'auto_resume', False) and not args.resume:
+            # preemption recovery: restart from the newest checkpoint in
+            # this experiment's ckpt dir, or from scratch if none exists
+            # (TPU build addition — preempted pod jobs relaunch with the
+            # same command and pick up where they left off)
+            latest = _latest_checkpoint(args.checkpoint_path)
+            if latest is not None:
+                logger.log_info('--auto-resume: found {0}'.format(latest))
+                args.resume = latest
         if args.resume:
             if not os.path.exists(args.resume):
                 logger.log_err(
@@ -291,6 +332,14 @@ class TaskProxy(object):
                         args.labeled_batch_size, args.unlabeled_batch_size,
                         seed=args.seed)
                     lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
+                if parallel.multihost.is_multihost():
+                    # every host walks the same seeded global index
+                    # sequence and loads only its own devices' slice
+                    # (parallel/multihost.py)
+                    sampler = parallel.multihost.ProcessShardedSampler(
+                        sampler, lbs, ubs,
+                        parallel.multihost.local_device_positions(self.mesh),
+                        n_dev)
                 self.train_loader = nnloader.DataLoader(
                     trainset, sampler, num_workers=args.num_workers,
                     device_put_fn=self._make_train_put_fn(lbs, ubs, n_dev))
@@ -329,6 +378,16 @@ class TaskProxy(object):
 
     def _make_train_put_fn(self, lbs, ubs, n_dev):
         mesh = self.mesh
+
+        if parallel.multihost.is_multihost():
+            # the ProcessShardedSampler already emitted per-device
+            # labeled-first blocks for this host's devices — assemble the
+            # global array from each host's local rows directly
+            def put(np_batch):
+                inp, gt = np_batch
+                return parallel.multihost.put_local_batch(
+                    {'inp': inp, 'gt': gt}, mesh)
+            return put
 
         def put(np_batch):
             inp, gt = np_batch
@@ -412,13 +471,32 @@ class _ValLoader(object):
         self.exact = exact
 
     def _put(self, batch):
+        multihost = parallel.multihost.is_multihost()
         if self.exact:
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(self.mesh, P())
+            if multihost:
+                # replicated: every host holds the identical full batch
+                # (all hosts walk the same val sequence deterministically)
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        rep, np.ascontiguousarray(x)), batch)
             return jax.tree.map(lambda x: jax.device_put(np.asarray(x), rep),
                                 batch)
         if not self.spatial:
+            if multihost:
+                # each host extracts its own devices' rows of the (identical)
+                # global bucketed batch and contributes them as local shards
+                positions = parallel.multihost.local_device_positions(self.mesh)
+                local = jax.tree.map(
+                    lambda x: np.ascontiguousarray(
+                        np.asarray(x)[np.asarray(positions)]), batch)
+                return parallel.multihost.put_local_batch(local, self.mesh)
             return parallel.shard_batch(batch, self.mesh)
+        if multihost:
+            logger.log_err('--spatial-val is not supported with --distributed '
+                           'multi-host runs yet; use the bucketed or exact '
+                           'validation modes')
         from jax.sharding import NamedSharding, PartitionSpec as P
         n = self.mesh.devices.size
 

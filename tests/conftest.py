@@ -8,9 +8,20 @@ mesh in CI.
 import os
 import sys
 
-_FLAG = '--xla_force_host_platform_device_count=8'
-if _FLAG not in os.environ.get('XLA_FLAGS', ''):
-    os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') + ' ' + _FLAG).strip()
+_FLAGS = [
+    '--xla_force_host_platform_device_count=8',
+    # On few-core hosts the 8 virtual devices' collective threads can
+    # starve past XLA's default stuck-rendezvous terminate timeout and
+    # SIGABRT a perfectly healthy run; make the detector patient so
+    # oversubscribed CI goes slow instead of dying.
+    '--xla_cpu_collective_call_warn_stuck_timeout_seconds=120',
+    '--xla_cpu_collective_call_terminate_timeout_seconds=1200',
+    '--xla_cpu_collective_timeout_seconds=1200',
+]
+for _flag in _FLAGS:
+    if _flag.split('=')[0] not in os.environ.get('XLA_FLAGS', ''):
+        os.environ['XLA_FLAGS'] = (
+            os.environ.get('XLA_FLAGS', '') + ' ' + _flag).strip()
 
 import jax  # noqa: E402
 

@@ -71,3 +71,15 @@ def test_misconfig_fails_cleanly(tmp_path, patch, match):
     cfg.update(patch)
     with pytest.raises(FatalError, match=match):
         _run(cfg)
+
+
+def test_latest_checkpoint_picks_highest_epoch(tmp_path):
+    from pixelssl_tpu.task_template.proxy import _latest_checkpoint
+    assert _latest_checkpoint('') is None
+    assert _latest_checkpoint(str(tmp_path / 'missing')) is None
+    d = tmp_path / 'ckpt'
+    d.mkdir()
+    assert _latest_checkpoint(str(d)) is None
+    for name in ('checkpoint_2', 'checkpoint_10', 'checkpoint_junk', 'other'):
+        (d / name).mkdir()
+    assert _latest_checkpoint(str(d)).endswith('checkpoint_10')

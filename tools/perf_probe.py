@@ -33,8 +33,11 @@ ALGO_DEFAULTS = {
     'ssl_gct': dict(ssl_mode='gct', fc_ssl_scale=1.0, dc_ssl_scale=1.0,
                     dc_threshold=0.6, dc_rampup_epochs=3, mu=0.5, nu=1,
                     fd_lr=0.0001, fd_scale=10.0),
+    # the round-1 benchmark decoder mix: 2 VAT + 2 dropout + 2 context +
+    # 2 feature-noise + 1 feature-drop = 9 aux decoders (BASELINE.md)
     'ssl_cct': dict(cons_scale=1.0, cons_rampup_epochs=3, ad_lr_scale=10.0,
-                    drop_dec_num=2, fn_dec_num=2),
+                    vat_dec_num=2, drop_dec_num=2, context_dec_num=2,
+                    fn_dec_num=2, fd_dec_num=1),
 }
 
 
