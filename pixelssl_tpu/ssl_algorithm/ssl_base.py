@@ -348,15 +348,16 @@ class SSLBase(object):
             path = os.path.join(self.args.checkpoint_path,
                                 'checkpoint_{0}'.format(epoch))
         path = os.path.abspath(path)
-        if jax.process_index() != 0:
-            # the state is replicated; on multi-host runs only process 0
-            # writes the (host-numpy) checkpoint to avoid shared-FS races
-            return path
+        # multi-host: EVERY process must call save — orbax synchronizes
+        # processes internally (barriers) and only the primary host writes
+        # the replicated host-numpy data; gating non-zero processes out
+        # deadlocks process 0 inside orbax's barrier
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, {'state': jax.device_get(self.state),
                               'epoch': np.asarray(epoch),
                               'algorithm_name': _encode_name(self.NAME)})
-        logger.log_info('Saved checkpoint: {0}'.format(path))
+        if jax.process_index() == 0:
+            logger.log_info('Saved checkpoint: {0}'.format(path))
         return path
 
     def load_checkpoint(self, path=None):
