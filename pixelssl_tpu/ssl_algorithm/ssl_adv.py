@@ -34,7 +34,7 @@ from ..nn.func import split_tensor_tuple
 from ..utils import cmd, logger
 from ..utils.constant import REGRESSION, CLASSIFICATION
 from ..task_template.model import check_resulter
-from .ssl_base import SSLBase, TaskContext
+from .ssl_base import SSLBase, TaskContext, aux_compute_dtype
 
 
 def add_parser_arguments(parser):
@@ -94,7 +94,7 @@ class SSLADV(SSLBase):
         max_iters = max(1, ctx.iters_per_epoch * args.epochs)
         self.d_lr_schedule = lambda step: d_lr * jnp.clip(
             1.0 - step / max_iters, 0.0, 1.0) ** args.discriminator_power
-        self.d_module = FCDiscriminator()
+        self.d_module = FCDiscriminator(dtype=aux_compute_dtype(args))
 
     def _build_state(self, rng):
         k_m, k_d = jax.random.split(rng)

@@ -380,6 +380,15 @@ class SSLBase(object):
         return int(restored['epoch'])
 
 
+def aux_compute_dtype(args):
+    """Conv compute dtype for algorithm-owned auxiliary modules
+    (discriminator, flaw detector, aux decoders, rotation head), matching
+    the task models' --bf16 convention (tasks/sseg/model.py:_model_dtype).
+    Params stay fp32; every aux module casts its outputs to fp32 before
+    losses/resizes, so only the MXU compute precision changes."""
+    return jnp.bfloat16 if getattr(args, 'bf16', True) else jnp.float32
+
+
 def ema_update(t_params, s_params, decay):
     """EMA teacher update in fp32 math regardless of storage dtype; the
     result is rounded back to the teacher's storage dtype (bf16 under

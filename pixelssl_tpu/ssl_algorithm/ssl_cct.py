@@ -43,7 +43,7 @@ from ..models.pspnet import UpsampleDecoder
 from ..nn.func import sigmoid_rampup, split_tensor_tuple
 from ..utils import cmd, logger
 from ..utils.constant import CLASSIFICATION
-from .ssl_base import SSLBase, TaskContext
+from .ssl_base import SSLBase, TaskContext, aux_compute_dtype
 
 
 def add_parser_arguments(parser):
@@ -116,7 +116,8 @@ class SSLCCT(SSLBase):
 
         self.ad_module = UpsampleDecoder(
             out_channels=ctx.task_func.sslcct_ad_out_channels(),
-            upscale=ctx.task_func.sslcct_ad_upsample_scale())
+            upscale=ctx.task_func.sslcct_ad_upsample_scale(),
+            dtype=aux_compute_dtype(args))
 
     def _build_state(self, rng):
         ctx = self.ctx

@@ -40,7 +40,7 @@ from ..nn.func import sigmoid_rampup, split_tensor_tuple
 from ..nn.module import gaussian_blur
 from ..utils import logger
 from ..utils.constant import REGRESSION, CLASSIFICATION
-from .ssl_base import SSLBase, TaskContext
+from .ssl_base import SSLBase, TaskContext, aux_compute_dtype
 
 MODE_GCT = 'gct'
 MODE_FC = 'fc'
@@ -192,7 +192,8 @@ class SSLGCT(SSLBase):
         max_iters = max(1, ctx.iters_per_epoch * args.epochs)
         self.fd_lr_schedule = lambda step: fd_lr * jnp.clip(
             1.0 - step / max_iters, 0.0, 1.0) ** 0.9
-        self.fd_module = FlawDetector(axis_name=ctx.axis_name)
+        self.fd_module = FlawDetector(axis_name=ctx.axis_name,
+                                      dtype=aux_compute_dtype(args))
 
     def _build_state(self, rng):
         k_l, k_r, k_fd = jax.random.split(rng, 3)

@@ -34,7 +34,7 @@ from ..nn.func import split_tensor_tuple
 from ..parallel import DATA_AXIS
 from ..utils import logger
 from ..utils.constant import CLASSIFICATION
-from .ssl_base import SSLBase, TaskContext
+from .ssl_base import SSLBase, TaskContext, aux_compute_dtype
 
 
 def add_parser_arguments(parser):
@@ -61,13 +61,15 @@ class WrappedS4LModule(nn_flax.Module):
     The RC submodule is named 'rc' so task lr-mult path rules (e.g.
     'classifier' → 10x) cannot accidentally match it."""
     task: nn_flax.Module
+    rc_dtype: jnp.dtype = jnp.float32
 
     @nn_flax.compact
     def __call__(self, inp, train: bool):
         resulter = self.task(inp, train)
         if 'ssls4l_rc_inp' not in resulter:
             raise ValueError("ssl_s4l requires resulter key 'ssls4l_rc_inp'")
-        rc = RotationClassifier(axis_name=DATA_AXIS, name='rc')
+        rc = RotationClassifier(axis_name=DATA_AXIS, name='rc',
+                                dtype=self.rc_dtype)
         resulter = dict(resulter)
         resulter['rotation'] = rc(resulter['ssls4l_rc_inp'], train)
         return resulter
@@ -99,7 +101,8 @@ class SSLS4L(SSLBase):
 
         task_model = ctx.models['model']
         self.task_model = task_model
-        self.model_module = WrappedS4LModule(task=task_model.module)
+        self.model_module = WrappedS4LModule(task=task_model.module,
+                                             rc_dtype=aux_compute_dtype(args))
         self.criterion = ctx.criterions['model']
         opt = ctx.optimizers['model']
         self.lr_schedule = ctx.lrers['model'].make(opt.base_lr,

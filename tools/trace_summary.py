@@ -72,8 +72,10 @@ def fields(buf):
 # ---------------------------------------------------------------------------
 
 def parse_event_metadata(buf):
-    """XEventMetadata: id=1, name=2, display_name=3."""
-    mid, name, display = 0, '', ''
+    """XEventMetadata: id=1, name=2, display_name=3, stats=5 (per-op
+    static info — hlo_category/flops/bytes live HERE on TPU device
+    planes, not on the per-occurrence XEvents)."""
+    mid, name, display, stats = 0, '', '', []
     for fnum, wtype, val in fields(buf):
         if fnum == 1 and wtype == 0:
             mid = val
@@ -81,7 +83,9 @@ def parse_event_metadata(buf):
             name = bytes(val).decode('utf-8', 'replace')
         elif fnum == 3 and wtype == 2:
             display = bytes(val).decode('utf-8', 'replace')
-    return mid, (display or name)
+        elif fnum == 5 and wtype == 2:
+            stats.append(parse_stat(val))
+    return mid, (display or name), stats
 
 
 def parse_stat_metadata(buf):
@@ -155,8 +159,8 @@ def parse_plane(buf):
             # map<int64, XEventMetadata> entry: key=1, value=2
             for f2, w2, v2 in fields(val):
                 if f2 == 2 and w2 == 2:
-                    mid, nm = parse_event_metadata(v2)
-                    emeta[mid] = nm
+                    mid, nm, mstats = parse_event_metadata(v2)
+                    emeta[mid] = (nm, mstats)
         elif fnum == 5 and wtype == 2:
             for f2, w2, v2 in fields(val):
                 if f2 == 2 and w2 == 2:
@@ -190,18 +194,32 @@ def summarize(trace_dir, top=25, plane_filter=''):
         for name, lines, emeta, smeta in parse_xspace(path):
             if plane_filter and plane_filter.lower() not in name.lower():
                 continue
+            # device planes nest parent lines (Steps / XLA Modules) above
+            # the per-op 'XLA Ops' line — summing every line double-counts,
+            # so keep only the op line when present
+            op_lines = [le for le in lines if le[0] == 'XLA Ops']
+            use_lines = op_lines or lines
+
+            def _resolve(sval):
+                if isinstance(sval, tuple) and sval[0] == 'ref':
+                    sval = smeta.get(sval[1], '')
+                return sval if isinstance(sval, str) else ''
+
             by_op = defaultdict(int)
             cat_of = {}
-            for line_name, events in lines:
+            for line_name, events in use_lines:
                 for mid, dur, stats in events:
-                    op = emeta.get(mid, 'meta_{0}'.format(mid))
+                    op, mstats = emeta.get(mid, ('meta_{0}'.format(mid), []))
                     by_op[op] += dur
-                    for smid, sval in stats:
+                    # static per-op info rides on the event METADATA stats
+                    # (TPU planes); fall back to per-event stats (CPU planes)
+                    for smid, sval in list(mstats) + list(stats):
+                        if op in cat_of:
+                            break
                         if smeta.get(smid) in ('hlo_category', 'category',
                                                'equation'):
-                            if isinstance(sval, tuple) and sval[0] == 'ref':
-                                sval = smeta.get(sval[1], '')
-                            if isinstance(sval, str) and sval:
+                            sval = _resolve(sval)
+                            if sval:
                                 cat_of[op] = sval
             if not by_op:
                 continue
