@@ -37,7 +37,12 @@ import optax
 
 from ..models.flaw_detector import FlawDetector, flaw_detector_criterion
 from ..nn.func import sigmoid_rampup, split_tensor_tuple
-from ..nn.module import gaussian_blur
+# blur via the banded-matrix matmul formulation (ops/blur_pallas.py,
+# einsum path): the conv lowering runs these single-channel maps at
+# ~1/128 MXU lane utilization; the matmul form is test-equal
+# (tests/test_ops.py:test_fused_blur_matches_conv_blur) and measurably
+# faster inside the fused GCT step (BASELINE.md)
+from ..ops.blur_pallas import gaussian_blur_fused as _blur
 from ..utils import logger
 from ..utils.constant import REGRESSION, CLASSIFICATION
 from .ssl_base import SSLBase, TaskContext, aux_compute_dtype
@@ -109,7 +114,7 @@ def flawmap_handler(flawmap, im_size, clip_threshold=0.1):
     min-max normalization uses the pre-clip fmin/fmax)."""
     fm = jax.lax.stop_gradient(flawmap.astype(jnp.float32))
     fm = fm * (fm >= 0).astype(jnp.float32)
-    fm = gaussian_blur(fm, _odd(int(im_size / 16)))
+    fm = _blur(fm, _odd(int(im_size / 16)))
     fmax = jnp.max(fm, axis=(1, 2, 3), keepdims=True)
     fmin = jnp.min(fm, axis=(1, 2, 3), keepdims=True)
     fm = fm * (fmax > clip_threshold).astype(jnp.float32)
@@ -145,9 +150,9 @@ def fdgt_generator(pred, gt_encoded, im_size, mu, nu):
     diff = jnp.abs(gt_encoded.astype(jnp.float32) -
                    jax.lax.stop_gradient(pred.astype(jnp.float32)))
     diff = jnp.sum(diff, axis=-1, keepdims=True) * mu
-    diff = gaussian_blur(diff, _odd(int(im_size / 8)))
+    diff = _blur(diff, _odd(int(im_size / 8)))
     for _ in range(int(nu)):
-        diff = gaussian_blur(_dilate3x3(diff), _odd(int(im_size / 4)))
+        diff = _blur(_dilate3x3(diff), _odd(int(im_size / 4)))
     out, _, _ = _minmax_normalize(diff)
     return out
 
