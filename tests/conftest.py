@@ -26,5 +26,15 @@ for _flag in _FLAGS:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# persistent compile cache: repeat suite runs (and the per-file runner's
+# fresh processes) skip recompiling unchanged test programs — the big
+# cost on few-core hosts where test_algorithms alone compiles ~50 min
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+try:
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(_REPO, '.jax_cache_cpu'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+except Exception:
+    pass
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, _REPO)
