@@ -14,7 +14,6 @@ from ...models.deeplab_v2 import DeepLabV2
 from ...models.pspnet import PSPNet
 from ...parallel import DATA_AXIS
 from ...task_template import model_template
-from ...utils import logger
 
 
 def add_parser_arguments(parser):
@@ -115,9 +114,10 @@ class PSPNetModel(model_template.TaskModel):
 
     def __init__(self, args):
         super(PSPNetModel, self).__init__(args)
-        if args.output_stride != 8:
-            logger.log_warn('PSPNet is benchmarked with output_stride=8 '
-                            '(got {0})'.format(args.output_stride))
+        # all 11 reference pspnet_* scripts set ('output_stride', 16) —
+        # OS16 IS the published benchmark protocol (the upstream
+        # _PSPModule's output_stride=8 parameter default is overridden by
+        # every script, reference task/sseg/script/pspnet_*.py)
         net = PSPNet(backbone=args.backbone,
                      output_stride=args.output_stride,
                      num_classes=args.num_classes,
