@@ -35,8 +35,14 @@ def build_algorithm(args, mesh=None, iters_per_epoch=10):
     from . import ssl_algorithm as ssl_registry
     from .tasks import sseg
 
-    mesh = mesh if mesh is not None else parallel.make_mesh()
-    n_dev = mesh.devices.size
+    spatial = int(getattr(args, 'spatial_train', 0) or 0)
+    if mesh is None:
+        mesh = (parallel.make_mesh_2d(spatial) if spatial > 1
+                else parallel.make_mesh())
+    elif spatial > 1 and not parallel.is_spatial_mesh(mesh):
+        mesh = parallel.make_mesh_2d(spatial,
+                                     devices=mesh.devices.reshape(-1))
+    n_dev = parallel.data_axis_size(mesh)
 
     model_dict, criterion_dict, optimizer_dict, lrer_dict = {}, {}, {}, {}
     for cname in args.models.keys():
@@ -46,8 +52,16 @@ def build_algorithm(args, mesh=None, iters_per_epoch=10):
         optimizer_dict[cname] = getattr(nnoptimizer, args.optimizers[cname])(args)
     task_func = sseg.func.task_func()(args)
 
-    lbs_local = args.labeled_batch_size // n_dev
-    ubs_local = args.unlabeled_batch_size // n_dev
+    if spatial > 1:
+        # GSPMD mode: the step function sees the GLOBAL batch
+        # (parallel/spatial.py), so its labeled/unlabeled split is global
+        lbs_local = args.labeled_batch_size
+        ubs_local = args.unlabeled_batch_size
+        axis_name = None
+    else:
+        lbs_local = args.labeled_batch_size // n_dev
+        ubs_local = args.unlabeled_batch_size // n_dev
+        axis_name = parallel.DATA_AXIS
     local_b = lbs_local + ubs_local
     example_inp = (np.zeros((local_b, args.im_size, args.im_size, 3),
                             np.float32),)
@@ -55,7 +69,8 @@ def build_algorithm(args, mesh=None, iters_per_epoch=10):
     builder = ssl_registry.get_builder(args.ssl_algorithm)
     algo = builder(args, model_dict, optimizer_dict, lrer_dict,
                    criterion_dict, task_func,
-                   mesh=mesh, lbs_local=lbs_local, ubs_local=ubs_local,
+                   mesh=mesh, axis_name=axis_name,
+                   lbs_local=lbs_local, ubs_local=ubs_local,
                    iters_per_epoch=iters_per_epoch, example_inp=example_inp)
     algo.build()
     return algo
@@ -73,7 +88,10 @@ def synthetic_batch(args, mesh, seed=0):
     lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
     if ubs > 0:
         gt[lbs:] = -1  # fake label (reference data.py:104-105)
-        if n_dev > 1:
-            img = parallel.reorder_two_stream(img, lbs, ubs, n_dev)
-            gt = parallel.reorder_two_stream(gt, lbs, ubs, n_dev)
+    if parallel.is_spatial_mesh(mesh):
+        # GSPMD mode: global labeled-first order, no per-device re-blocking
+        return parallel.shard_train_batch({'inp': (img,), 'gt': (gt,)}, mesh)
+    if ubs > 0 and n_dev > 1:
+        img = parallel.reorder_two_stream(img, lbs, ubs, n_dev)
+        gt = parallel.reorder_two_stream(gt, lbs, ubs, n_dev)
     return parallel.shard_batch({'inp': (img,), 'gt': (gt,)}, mesh)

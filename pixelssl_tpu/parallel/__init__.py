@@ -3,3 +3,7 @@ from .mesh import (DATA_AXIS, make_mesh, replicate, shard_batch,
                    fold_rng, parallel_step, parallel_eval_step,
                    parallel_multi_step, batch_sharding, replicate_sharding)
 from . import multihost
+from . import spatial
+from .spatial import (SPATIAL_AXIS, make_mesh_2d, is_spatial_mesh,
+                      data_axis_size, shard_train_batch, gspmd_train_step,
+                      gspmd_multi_step)

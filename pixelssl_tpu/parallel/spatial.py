@@ -15,9 +15,12 @@ automatically, so the same pure step functions work unchanged.
 """
 
 import jax
-from jax.sharding import NamedSharding, PartitionSpec as P
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS
+
+SPATIAL_AXIS = 'spatial'
 
 
 def spatial_image_sharding(mesh, axis_name=DATA_AXIS):
@@ -32,6 +35,96 @@ def spatial_forward(apply_fn, mesh, axis_name=DATA_AXIS):
     rep = NamedSharding(mesh, P())
     shd = spatial_image_sharding(mesh, axis_name)
     return jax.jit(apply_fn, in_shardings=(rep, shd))
+
+
+# ----------------------------------------------------------------------
+# Spatially-sharded TRAINING (--spatial-train): 2-D ('data','spatial') mesh
+# ----------------------------------------------------------------------
+#
+# The train step functions (ssl_algorithm/*._step_fn) are pure and, with
+# ctx.axis_name=None, collective-free: losses are plain means over the
+# batch they see and BN statistics come from SyncBatchNorm's local
+# reduction (models/layers.py:77-85). Handing that SAME function the
+# GLOBAL batch under ``jit`` with the inputs committed to a 2-D mesh —
+# batch dim on 'data', image H on 'spatial' — makes the XLA partitioner
+# derive every collective itself: conv halo exchanges along H, BN-stat
+# and loss AllReduces, gradient reduction into the replicated parameter
+# update. Functionally identical to the shard_map data path (SyncBN psum
+# == global batch statistics; pmean(grad) == grad of the global mean),
+# but activations are 1/n_spatial per device, which is what lets
+# high-resolution training (513px+ PSPNet) scale past one chip's HBM
+# without shrinking the batch. The reference has no analog — its only
+# answer to activation memory is a smaller per-GPU batch.
+
+
+def make_mesh_2d(n_spatial, devices=None):
+    """('data', 'spatial') mesh: n_devices/n_spatial × n_spatial."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices).reshape(-1)
+    n = devices.size
+    if n_spatial < 1 or n % n_spatial != 0:
+        raise ValueError('spatial axis size {0} must divide the device '
+                         'count {1}'.format(n_spatial, n))
+    return Mesh(devices.reshape(n // n_spatial, n_spatial),
+                (DATA_AXIS, SPATIAL_AXIS))
+
+
+def is_spatial_mesh(mesh):
+    return SPATIAL_AXIS in mesh.axis_names
+
+
+def data_axis_size(mesh):
+    """Devices along 'data' — the batch-scaling factor under spatial
+    training (the proxy's ×n_devices batch/lr scaling uses this, not the
+    total device count: spatial shards split work, not batch)."""
+    return mesh.shape[DATA_AXIS] if is_spatial_mesh(mesh) else mesh.devices.size
+
+
+def train_leaf_sharding(mesh, leaf):
+    """[N,H,...] leaves shard batch on 'data' and H on 'spatial'; [N]/[N,k]
+    leaves shard batch only; scalars replicate."""
+    if leaf.ndim >= 3:
+        spec = P(DATA_AXIS, SPATIAL_AXIS, *([None] * (leaf.ndim - 2)))
+    elif leaf.ndim >= 1:
+        spec = P(DATA_AXIS)
+    else:
+        spec = P()
+    return NamedSharding(mesh, spec)
+
+
+def shard_train_batch(tree, mesh):
+    """Place a GLOBAL (labeled-first, un-reordered) batch pytree on the 2-D
+    mesh. No ``reorder_two_stream``: the step slices the global labeled
+    block ``[0:lbs]`` itself and XLA rebalances the sliced operand."""
+    return jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), train_leaf_sharding(mesh, np.asarray(x))),
+        tree)
+
+
+def gspmd_train_step(step_fn, mesh, donate_state=True):
+    """Jit ``step_fn(state, batch) -> (state, metrics)`` (written with
+    ctx.axis_name=None) for the 2-D mesh. Inputs arrive committed
+    (shard_train_batch / replicated state); outputs are replicated."""
+    rep = NamedSharding(mesh, P())
+    donate = (0,) if donate_state else ()
+    return jax.jit(step_fn, out_shardings=(rep, rep), donate_argnums=donate)
+
+
+def gspmd_multi_step(step_fn, mesh, n_steps, donate_state=True):
+    """lax.scan fusion of n_steps global-batch steps (mesh.parallel_multi_step
+    semantics under GSPMD): batch leaves carry a leading [n_steps] scan axis."""
+    rep = NamedSharding(mesh, P())
+
+    def scanned(state, batches):
+        def body(s, b):
+            s2, m = step_fn(s, b)
+            return s2, m
+        state, metrics = jax.lax.scan(body, state, batches)
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    donate = (0,) if donate_state else ()
+    return jax.jit(scanned, out_shardings=(rep, rep), donate_argnums=donate)
 
 
 def pad_height_to(mesh, x, multiple=None):

@@ -96,14 +96,24 @@ class SSLBase(object):
                 logger.log_info('Model `{0}`: {1:,} parameters'.format(
                     key, count_params(sub['params'])))
         self.state = parallel.replicate(state, self.ctx.mesh)
-        self._train_step = parallel.parallel_step(
-            self._step_fn, self.ctx.mesh, self.ctx.axis_name)
         self._steps_per_dispatch = max(
             1, getattr(self.args, 'steps_per_dispatch', 1) or 1)
-        if self._steps_per_dispatch > 1:
-            self._multi_step = parallel.parallel_multi_step(
-                self._step_fn, self.ctx.mesh, self._steps_per_dispatch,
-                self.ctx.axis_name)
+        if self.ctx.axis_name is None and parallel.is_spatial_mesh(self.ctx.mesh):
+            # --spatial-train: GSPMD auto-partitioning over the 2-D
+            # ('data','spatial') mesh — the step sees the GLOBAL batch and
+            # XLA derives the collectives (parallel/spatial.py)
+            self._train_step = parallel.gspmd_train_step(
+                self._step_fn, self.ctx.mesh)
+            if self._steps_per_dispatch > 1:
+                self._multi_step = parallel.gspmd_multi_step(
+                    self._step_fn, self.ctx.mesh, self._steps_per_dispatch)
+        else:
+            self._train_step = parallel.parallel_step(
+                self._step_fn, self.ctx.mesh, self.ctx.axis_name)
+            if self._steps_per_dispatch > 1:
+                self._multi_step = parallel.parallel_multi_step(
+                    self._step_fn, self.ctx.mesh, self._steps_per_dispatch,
+                    self.ctx.axis_name)
         self._eval_step = self._make_eval_step()
         return self.state
 

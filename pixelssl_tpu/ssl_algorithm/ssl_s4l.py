@@ -62,13 +62,14 @@ class WrappedS4LModule(nn_flax.Module):
     'classifier' → 10x) cannot accidentally match it."""
     task: nn_flax.Module
     rc_dtype: jnp.dtype = jnp.float32
+    rc_axis_name: str = DATA_AXIS
 
     @nn_flax.compact
     def __call__(self, inp, train: bool):
         resulter = self.task(inp, train)
         if 'ssls4l_rc_inp' not in resulter:
             raise ValueError("ssl_s4l requires resulter key 'ssls4l_rc_inp'")
-        rc = RotationClassifier(axis_name=DATA_AXIS, name='rc',
+        rc = RotationClassifier(axis_name=self.rc_axis_name, name='rc',
                                 dtype=self.rc_dtype)
         resulter = dict(resulter)
         resulter['rotation'] = rc(resulter['ssls4l_rc_inp'], train)
@@ -102,7 +103,8 @@ class SSLS4L(SSLBase):
         task_model = ctx.models['model']
         self.task_model = task_model
         self.model_module = WrappedS4LModule(task=task_model.module,
-                                             rc_dtype=aux_compute_dtype(args))
+                                             rc_dtype=aux_compute_dtype(args),
+                                             rc_axis_name=ctx.axis_name)
         self.criterion = ctx.criterions['model']
         opt = ctx.optimizers['model']
         self.lr_schedule = ctx.lrers['model'].make(opt.base_lr,

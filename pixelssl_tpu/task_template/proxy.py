@@ -55,6 +55,15 @@ def add_parser_arguments(parser):
                         help='exp - shard each validation image\'s height over '
                              'the mesh (GSPMD halo exchange; for images too '
                              'large for one chip — TPU build addition)')
+    parser.add_argument('--spatial-train', type=int, default=0, metavar='',
+                        help='exp - shard training activations\' height over '
+                             'an N-way \'spatial\' mesh axis (GSPMD; data '
+                             'parallelism uses the remaining devices/N). '
+                             'Keeps the per-data-shard batch at the config '
+                             'size while splitting each image\'s compute/'
+                             'memory N ways — for resolutions whose '
+                             'activations exceed one chip\'s HBM '
+                             '(TPU build addition)')
     parser.add_argument('--profile-dir', type=str, default='', metavar='',
                         help='exp - dump a jax.profiler trace of training '
                              'steps [1, 1+profile-steps] of epoch 0 to this '
@@ -143,7 +152,18 @@ class TaskProxy(object):
         if mesh is None:
             # must run before the first jax op so the pod backend forms
             parallel.multihost.initialize(args)
-            mesh = parallel.make_mesh()
+            spatial_train = int(getattr(args, 'spatial_train', 0) or 0)
+            if spatial_train > 1:
+                if parallel.multihost.is_multihost():
+                    logger.log_err('--spatial-train is not supported with '
+                                   '--distributed multi-host runs yet')
+                if getattr(args, 'spatial_val', False):
+                    logger.log_err('--spatial-train and --spatial-val are '
+                                   'mutually exclusive (use --exact-val or '
+                                   'the bucketed default for validation)')
+                mesh = parallel.make_mesh_2d(spatial_train)
+            else:
+                mesh = parallel.make_mesh()
         self.mesh = mesh
 
         self.train_loader = None
@@ -225,7 +245,9 @@ class TaskProxy(object):
 
         # device scaling — reference proxy.py:252-261 multiplied batch/lr/
         # workers by the CUDA device count; identical semantics on the mesh
-        n_dev = self.mesh.devices.size
+        # under --spatial-train only the 'data' axis multiplies the batch;
+        # spatial shards split each image's work, not the sample count
+        n_dev = parallel.data_axis_size(self.mesh)
         args.n_devices = n_dev
         if n_dev > 1:
             if hasattr(args, 'lr') and args.lr not in (None, -1):
@@ -267,7 +289,7 @@ class TaskProxy(object):
 
     def _create_dataloader(self):
         args = self.args
-        n_dev = self.mesh.devices.size
+        n_dev = parallel.data_axis_size(self.mesh)
         with_unlabeled = (not args.ignore_unlabeled) and args.unlabeled_batch_size != 0
         without_unlabeled = args.ignore_unlabeled and args.unlabeled_batch_size == 0
 
@@ -389,6 +411,14 @@ class TaskProxy(object):
                     {'inp': inp, 'gt': gt}, mesh)
             return put
 
+        if parallel.is_spatial_mesh(mesh):
+            # GSPMD mode: global labeled-first order as-is; batch on 'data',
+            # image H on 'spatial' (parallel/spatial.py)
+            def put(np_batch):
+                inp, gt = np_batch
+                return parallel.shard_train_batch({'inp': inp, 'gt': gt}, mesh)
+            return put
+
         def put(np_batch):
             inp, gt = np_batch
             if ubs > 0 and n_dev > 1:
@@ -417,16 +447,24 @@ class TaskProxy(object):
 
         task_func = self.func.task_func()(args)
 
-        n_dev = self.mesh.devices.size
-        lbs_local = args.labeled_batch_size // n_dev
-        ubs_local = args.unlabeled_batch_size // n_dev
+        if parallel.is_spatial_mesh(self.mesh):
+            # GSPMD mode: the step sees the GLOBAL batch (parallel/spatial.py)
+            axis_name = None
+            lbs_local = args.labeled_batch_size
+            ubs_local = args.unlabeled_batch_size
+        else:
+            axis_name = parallel.DATA_AXIS
+            n_dev = self.mesh.devices.size
+            lbs_local = args.labeled_batch_size // n_dev
+            ubs_local = args.unlabeled_batch_size // n_dev
         example_inp = self._example_inp(lbs_local + ubs_local)
 
         builder = ssl_registry.get_builder(args.ssl_algorithm)
         self.ssl_algorithm = builder(
             args, self.model_dict, self.optimizer_dict, self.lrer_dict,
             self.criterion_dict, task_func,
-            mesh=self.mesh, lbs_local=lbs_local, ubs_local=ubs_local,
+            mesh=self.mesh, axis_name=axis_name,
+            lbs_local=lbs_local, ubs_local=ubs_local,
             iters_per_epoch=max(1, args.iters_per_epoch or 1),
             example_inp=example_inp)
 

@@ -96,7 +96,7 @@ class DeepLabV2Model(model_template.TaskModel):
         net = DeepLabV2(backbone=args.backbone,
                         output_stride=args.output_stride,
                         num_classes=args.num_classes,
-                        bn_axis_name=DATA_AXIS,
+                        bn_axis_name=_bn_axis(args),
                         dtype=_model_dtype(args),
                         remat=getattr(args, 'remat', False))
         self.module = _SsegModule(net=net,
@@ -121,11 +121,19 @@ class PSPNetModel(model_template.TaskModel):
         net = PSPNet(backbone=args.backbone,
                      output_stride=args.output_stride,
                      num_classes=args.num_classes,
-                     bn_axis_name=DATA_AXIS,
+                     bn_axis_name=_bn_axis(args),
                      dtype=_model_dtype(args),
                      remat=getattr(args, 'remat', False))
         self.module = _SsegModule(net=net,
                                   freeze_bn=getattr(args, 'freeze_bn', False))
+
+
+def _bn_axis(args):
+    """BN collective axis: the shard_map data axis normally; None under
+    --spatial-train, where the step runs on the GLOBAL batch and GSPMD
+    partitions SyncBatchNorm's plain reductions into the same cross-device
+    statistics (parallel/spatial.py)."""
+    return None if getattr(args, 'spatial_train', 0) else DATA_AXIS
 
 
 def _model_dtype(args):
