@@ -17,9 +17,12 @@ batch points — round 1 recorded 61.03 steps/s at b4+2 = 366 samples/s.
 Baseline: the reference publishes no throughput numbers (BASELINE.md). The
 ``vs_baseline`` denominator is an ESTIMATED PyTorch DataParallel Mean-
 Teacher rate for DeepLab-v2/ResNet-101 @321 on one V100-class GPU
-(~1.3 steps/s at batch 4+2 = ~7.8 samples/s: double forward + backward +
-Python-loop EMA + per-forward scatter/gather). Revisit when a measured
-torch-GPU number exists.
+(~1.3 steps/s: double forward + backward + Python-loop EMA + per-forward
+scatter/gather), counted in the SAME unit as ``value`` — labeled
+samples/s, i.e. 1.3 steps/s x 4 labeled per step at the reference's b4+2
+config = ~5.2 labeled samples/s (the unlabeled stream rides along at the
+same ratio on both sides). Revisit when a measured torch-GPU number
+exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -27,7 +30,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import time
 
-BASELINE_SAMPLES_PER_SEC = 1.3 * 6.0  # estimated torch DataParallel MT rate
+# estimated torch DataParallel MT rate, labeled samples/s (1.3 steps/s x 4
+# labeled per step) — same labeled-only accounting as `value` below
+BASELINE_SAMPLES_PER_SEC = 1.3 * 4.0
 SCAN_STEPS = 32
 BATCH_PER_CHIP = 8          # labeled; production point from BASELINE.md
 UNLABELED_PER_CHIP = 4
@@ -36,7 +41,9 @@ UNLABELED_PER_CHIP = 4
 def main():
     import jax
     try:  # persistent compile cache: warm re-runs skip the big XLA compile
-        jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+        import os
+        jax.config.update('jax_compilation_cache_dir', os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
         pass

@@ -56,7 +56,10 @@ def add_parser_arguments(parser):
                         metavar='',
                         help='optimizer - store momentum/Adam-moment state '
                              'in bf16 (halves optimizer HBM traffic; update '
-                             'math stays fp32 — TPU build addition)')
+                             'math stays fp32, but the result is rounded '
+                             'back to bf16, dropping sub-half-ULP deltas — '
+                             'keep fp32 for benchmark-fidelity runs; '
+                             'TPU build addition)')
 
 
 def _default(value, default):

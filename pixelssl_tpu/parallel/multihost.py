@@ -40,16 +40,32 @@ def initialize(args=None):
     Safe to call in single-process runs (no-op). On TPU pods
     jax.distributed.initialize() discovers coordinator/process_id from the
     TPU environment without arguments.
+
+    MUST run before anything that initializes the XLA backend — even
+    ``jax.process_count()``/``jax.devices()`` counts: once the backend is
+    up, ``jax.distributed.initialize()`` raises and the pod silently
+    degrades to N independent single-process runs. Hence the
+    ``is_initialized()`` probe (backend-free) rather than a
+    ``process_count()`` check here.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
     if args is not None and not getattr(args, 'distributed', False):
         return
+    if jax.distributed.is_initialized():
+        return  # a launcher / test harness already formed the backend
     try:
         jax.distributed.initialize()
-    except (RuntimeError, ValueError):
-        # single-process environment (no coordinator) — run locally
-        pass
+    except (RuntimeError, ValueError) as exc:
+        if args is not None:
+            # --distributed was explicitly requested: misconfiguration
+            # (e.g. backend already up, or no coordinator reachable) must
+            # fail fast, not silently train one independent copy per host
+            from ..utils import logger
+            logger.log_err(
+                '--distributed was set but jax.distributed.initialize() '
+                'failed: {0}\n  Launch the same script on every pod '
+                'worker and make sure no JAX computation runs before the '
+                'proxy is constructed.'.format(exc))
+        # bare probe (args=None): single-process environment — run locally
 
 
 def is_multihost():

@@ -36,6 +36,12 @@ from ..task_template.func import METRIC_STR
 from .. import parallel
 
 
+def _tree_identity(tree):
+    # jitted with replicated out_shardings by _gather_for_host; must be a
+    # stable module-level function so jit's cache keys stay hittable
+    return tree
+
+
 class TaskContext(object):
     """Everything the proxy resolves for an algorithm build.
 
@@ -75,6 +81,7 @@ class SSLBase(object):
         self._train_step = None   # jitted shard_map'd step
         self._eval_step = None    # jitted eval fn
         self._debug_viz_fn = None  # lazily-jitted debug forward
+        self._gather_fn = None     # lazily-jitted replicating identity
         self.meters = AvgMeterSet()
 
     # ------------------------------------------------------------------
@@ -294,11 +301,15 @@ class SSLBase(object):
         arrays so every host can read them with numpy (multi-host runs:
         a P('data')-sharded global array is not addressable from one
         process; a jitted identity with replicated out_shardings is the
-        collective gather)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        rep = NamedSharding(self.ctx.mesh, P())
-        shardings = jax.tree.map(lambda _: rep, tree)
-        return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+        collective gather). The jitted fn is cached on self — a fresh
+        lambda per call would defeat jit's cache and retrace/lower on
+        every validation batch."""
+        fn = getattr(self, '_gather_fn', None)
+        if fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.ctx.mesh, P())  # prefix: all leaves
+            fn = self._gather_fn = jax.jit(_tree_identity, out_shardings=rep)
+        return fn(tree)
 
     def validate(self, data_loader, epoch):
         # fresh meter set — reset() keeps stale training keys alive, which
@@ -377,7 +388,22 @@ class SSLBase(object):
                     'epoch': np.asarray(0),
                     'algorithm_name': _encode_name('')}
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(path, template)
+            try:
+                restored = ckptr.restore(path, template)
+            except SystemExit:
+                raise
+            except Exception as exc:
+                # surface orbax tree-mismatch errors as a framework-level
+                # message: the usual causes are a checkpoint written by an
+                # incompatible build (e.g. a pre-rename key layout) or a
+                # different model/algorithm configuration
+                logger.log_err(
+                    'Failed to restore checkpoint at {0}:\n  {1}: {2}\n  '
+                    'A tree-structure mismatch usually means the '
+                    'checkpoint was written by an older/incompatible '
+                    'build or a different model/algorithm configuration '
+                    'than this run.'.format(
+                        path, type(exc).__name__, exc))
         saved_name = _decode_name(restored['algorithm_name'])
         if saved_name != self.NAME:
             logger.log_err('Checkpoint at {0} was saved by SSL algorithm '
@@ -402,7 +428,10 @@ def aux_compute_dtype(args):
 def ema_update(t_params, s_params, decay):
     """EMA teacher update in fp32 math regardless of storage dtype; the
     result is rounded back to the teacher's storage dtype (bf16 under
-    --bf16-ema, halving EMA HBM traffic; fp32 default for exact parity)."""
+    --bf16-ema, halving EMA HBM traffic; fp32 default for exact parity).
+    bf16 storage drops per-step deltas below the stored value's half-ULP
+    (~2^-9 relative), stalling the teacher near convergence — see
+    docs/performance.md before enabling it for accuracy runs."""
     return jax.tree.map(
         lambda t, s: (decay * t.astype(jnp.float32) +
                       (1.0 - decay) * s.astype(jnp.float32)).astype(t.dtype),

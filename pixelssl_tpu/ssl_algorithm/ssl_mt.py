@@ -46,7 +46,12 @@ def add_parser_arguments(parser):
     parser.add_argument('--bf16-ema', type=cmd.str2bool, default=False,
                         help='sslmt - store the EMA teacher in bf16 '
                              '(halves EMA HBM traffic; forward compute '
-                             'is bf16 anyway — TPU build addition)')
+                             'is bf16 anyway — TPU build addition). '
+                             'Caveat: updates below the bf16 half-ULP '
+                             'are rounded away, so the teacher stops '
+                             'tracking near convergence — keep fp32 for '
+                             'benchmark-fidelity runs '
+                             '(docs/performance.md)')
     parser.add_argument('--gaussian-noise-std', type=float, default=None,
                         help='sslmt - std of input gaussian noise (None disables)')
 

@@ -165,8 +165,11 @@ class PascalVocDataset(data_template.TaskDataset):
             oh = short_size
             ow = int(1.0 * w * oh / h)
         ph, pw = max(oh, crop), max(ow, crop)
-        y1 = int(rng.integers(0, ph - crop + 1))
+        # x1 before y1: random_scale_crop's draw order — for non-square
+        # images swapping these maps the same RNG stream to a different
+        # crop, breaking PIL/native per-seed reproducibility
         x1 = int(rng.integers(0, pw - crop + 1))
+        y1 = int(rng.integers(0, ph - crop + 1))
         flip = bool(rng.random() < 0.5)
         return (oh, ow), (y1, x1), flip
 

@@ -79,6 +79,39 @@ def test_initialize_is_noop_single_process():
     assert not multihost.is_multihost()
 
 
+def test_initialize_skips_when_backend_already_distributed(monkeypatch):
+    """A launcher/test harness that already called
+    jax.distributed.initialize() must not be re-initialized (the e2e
+    worker pre-initializes, tests/_multihost_worker.py)."""
+    calls = []
+    monkeypatch.setattr(jax.distributed, 'is_initialized', lambda: True)
+    monkeypatch.setattr(jax.distributed, 'initialize',
+                        lambda *a, **k: calls.append(1))
+    import argparse
+    multihost.initialize(argparse.Namespace(distributed=True))
+    assert calls == []
+
+
+def test_initialize_fails_fast_when_distributed_requested(monkeypatch):
+    """--distributed with an unusable coordinator must fail loudly, not
+    silently train one independent copy per host (the pre-fix failure
+    mode: the backend was initialized by the guard's own process_count()
+    probe, jax.distributed.initialize() raised, and the except swallowed
+    it)."""
+    import argparse
+    import pytest
+
+    def boom(*a, **k):
+        raise RuntimeError('coordinator unreachable')
+
+    monkeypatch.setattr(jax.distributed, 'is_initialized', lambda: False)
+    monkeypatch.setattr(jax.distributed, 'initialize', boom)
+    with pytest.raises(SystemExit):
+        multihost.initialize(argparse.Namespace(distributed=True))
+    # bare probe (args=None) still degrades gracefully
+    multihost.initialize(args=None)
+
+
 def test_gather_for_host_replicates_sharded_tree():
     """ssl_base._gather_for_host: a P('data')-sharded tree comes back
     fully replicated (the multi-host validate path's collective gather)."""

@@ -48,7 +48,9 @@ def main():
 
     import jax
     try:
-        jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+        jax.config.update('jax_compilation_cache_dir', os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            '.jax_cache'))
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
         pass
