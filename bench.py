@@ -39,14 +39,15 @@ UNLABELED_PER_CHIP = 4
 
 
 def main():
+    import os
+
     import jax
-    try:  # persistent compile cache: warm re-runs skip the big XLA compile
-        import os
-        jax.config.update('jax_compilation_cache_dir', os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-        pass
+
+    from pixelssl_tpu.utils import env as _env
+
+    # persistent compile cache: warm re-runs skip the big XLA compile
+    _env.enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 

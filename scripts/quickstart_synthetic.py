@@ -42,20 +42,8 @@ def main():
     sys.argv = sys.argv[:1]
 
     if opts.cpu_mesh:
-        flags = [
-            '--xla_force_host_platform_device_count=%d' % opts.cpu_mesh,
-            # few-core hosts: be patient instead of SIGABRT when virtual
-            # devices' collective threads starve (see tests/conftest.py)
-            '--xla_cpu_collective_call_warn_stuck_timeout_seconds=120',
-            '--xla_cpu_collective_call_terminate_timeout_seconds=1200',
-            '--xla_cpu_collective_timeout_seconds=1200',
-        ]
-        for flag in flags:
-            if flag.split('=')[0] not in os.environ.get('XLA_FLAGS', ''):
-                os.environ['XLA_FLAGS'] = (
-                    os.environ.get('XLA_FLAGS', '') + ' ' + flag).strip()
-        import jax
-        jax.config.update('jax_platforms', 'cpu')
+        from pixelssl_tpu.utils import env as _env
+        _env.force_cpu_mesh(opts.cpu_mesh)
 
     from collections import OrderedDict
 

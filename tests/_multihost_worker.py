@@ -13,26 +13,20 @@ PROC_ID = int(sys.argv[1])
 PORT = int(sys.argv[2])
 OUT = sys.argv[3]
 
-_FLAGS = [
-    '--xla_force_host_platform_device_count=2',
-    # oversubscribed single-core host: keep the stuck-collective detector
-    # patient (see tests/conftest.py)
-    '--xla_cpu_collective_call_warn_stuck_timeout_seconds=120',
-    '--xla_cpu_collective_call_terminate_timeout_seconds=1200',
-    '--xla_cpu_collective_timeout_seconds=1200',
-]
-os.environ['XLA_FLAGS'] = (
-    os.environ.get('XLA_FLAGS', '') + ' ' + ' '.join(_FLAGS)).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pixelssl_tpu.utils import env as _env  # noqa: E402
+
+# 2 virtual devices per process; force_cpu_mesh REPLACES the parent
+# pytest process's device_count=8 inherited via XLA_FLAGS
+_env.force_cpu_mesh(2)
 
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
 jax.distributed.initialize(
     coordinator_address='127.0.0.1:{0}'.format(PORT),
     num_processes=2, process_id=PROC_ID,
     initialization_timeout=240)
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from collections import OrderedDict  # noqa: E402
 

@@ -58,13 +58,8 @@ def main():
     opts = ap.parse_args()
 
     import jax
-    try:
-        jax.config.update('jax_compilation_cache_dir', os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            '.jax_cache'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-        pass
+    from pixelssl_tpu.utils import env as _env
+    _env.enable_compile_cache(os.path.join(_env.repo_root(), '.jax_cache'))
     import numpy as np
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
