@@ -52,6 +52,13 @@ def add_parser_arguments(parser):
                         help='optimizer - adam beta2')
     parser.add_argument('--amsgrad', type=cmd.str2bool, default=False, metavar='',
                         help='optimizer - enable amsgrad (adam / wdadam)')
+    parser.add_argument('--clip-grad-norm', type=float, default=-1, metavar='',
+                        help='optimizer - clip gradients to this global '
+                             'L2 norm before the update (applied to the '
+                             'mesh-averaged gradients inside the fused '
+                             'step; -1 disables — TPU build addition, the '
+                             'reference has no clipping; stabilizes hot '
+                             'consistency-loss configs)')
     parser.add_argument('--bf16-opt-state', type=cmd.str2bool, default=False,
                         metavar='',
                         help='optimizer - store momentum/Adam-moment state '
@@ -88,16 +95,22 @@ class OptimizerFactory(object):
     pytree (from the task model's param-group spec) are known.
     """
 
-    def __init__(self, name, build_fn, base_lr, bf16_state=False):
+    def __init__(self, name, build_fn, base_lr, bf16_state=False,
+                 clip_norm=-1):
         self.name = name
         self._build_fn = build_fn
         self.base_lr = base_lr
         self.bf16_state = bf16_state
+        self.clip_norm = clip_norm
 
     def make(self, lr_schedule, lr_mult=None):
         tx = self._build_fn(lr_schedule)
         if lr_mult is not None:
             tx = optax.chain(tx, _scale_by_lr_mult(lr_mult))
+        if self.clip_norm is not None and self.clip_norm > 0:
+            # clip the raw (mesh-averaged) gradients BEFORE the optimizer
+            # transform sees them, the standard global-norm recipe
+            tx = optax.chain(optax.clip_by_global_norm(self.clip_norm), tx)
         if self.bf16_state:
             tx = _bf16_state(tx)
         return tx
@@ -182,7 +195,8 @@ def sgd(args):
         return optax.chain(*parts)
 
     return OptimizerFactory('sgd', build, lr,
-                            bf16_state=getattr(args, 'bf16_opt_state', False))
+                            bf16_state=getattr(args, 'bf16_opt_state', False),
+                            clip_norm=getattr(args, 'clip_grad_norm', -1))
 
 
 def rmsprop(args):
@@ -210,7 +224,8 @@ def rmsprop(args):
         return optax.chain(*parts)
 
     return OptimizerFactory('rmsprop', build, lr,
-                            bf16_state=getattr(args, 'bf16_opt_state', False))
+                            bf16_state=getattr(args, 'bf16_opt_state', False),
+                            clip_norm=getattr(args, 'clip_grad_norm', -1))
 
 
 def adam(args):
@@ -232,7 +247,8 @@ def adam(args):
         return optax.chain(*parts)
 
     return OptimizerFactory('adam', build, lr,
-                            bf16_state=getattr(args, 'bf16_opt_state', False))
+                            bf16_state=getattr(args, 'bf16_opt_state', False),
+                            clip_norm=getattr(args, 'clip_grad_norm', -1))
 
 
 def wdadam(args):
@@ -265,7 +281,8 @@ def wdadam(args):
         return optax.chain(*parts)
 
     return OptimizerFactory('wdadam', build, lr,
-                            bf16_state=getattr(args, 'bf16_opt_state', False))
+                            bf16_state=getattr(args, 'bf16_opt_state', False),
+                            clip_norm=getattr(args, 'clip_grad_norm', -1))
 
 
 _REGISTRY = {'sgd': sgd, 'rmsprop': rmsprop, 'adam': adam, 'wdadam': wdadam}

@@ -63,6 +63,24 @@ def test_sgd_matches_manual_momentum_wd():
     np.testing.assert_allclose(np.asarray(upd2), np.asarray(-0.1 * buf2), rtol=1e-6)
 
 
+def test_clip_grad_norm_bounds_update():
+    """--clip-grad-norm: grads are clipped to the global L2 norm BEFORE
+    the optimizer transform (TPU build addition; no reference analog)."""
+    args = Args(lr=1.0, momentum=0.0, weight_decay=0.0, clip_grad_norm=1.0)
+    tx = nnopt.sgd(args).make(lambda step: 1.0)
+    p = jnp.asarray([0.0, 0.0])
+    g = jnp.asarray([30.0, 40.0])  # ||g|| = 50 -> scaled by 1/50
+    state = tx.init(p)
+    upd, _ = tx.update(g, state, p)
+    np.testing.assert_allclose(np.asarray(upd), [-0.6, -0.8], rtol=1e-6)
+
+    # sentinel -1 (unset) leaves gradients untouched
+    args = Args(lr=1.0, momentum=0.0, weight_decay=0.0, clip_grad_norm=-1)
+    tx = nnopt.sgd(args).make(lambda step: 1.0)
+    upd, _ = tx.update(g, tx.init(p), p)
+    np.testing.assert_allclose(np.asarray(upd), [-30.0, -40.0], rtol=1e-6)
+
+
 def test_wdadam_decoupled_decay():
     args = Args(lr=0.01, weight_decay=0.1)
     tx = nnopt.wdadam(args).make(lambda s: 0.01)
