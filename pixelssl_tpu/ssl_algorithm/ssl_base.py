@@ -63,7 +63,12 @@ class TaskContext(object):
         self.task_func = task_func
         self.mesh = mesh if mesh is not None else parallel.make_mesh()
         self.axis_name = axis_name
-        self.n_dev = self.mesh.devices.size
+        # batch-scaling factor, NOT the raw device count: under a 2-D
+        # --spatial-train mesh only the 'data' axis multiplies the global
+        # batch (spatial shards split work), so the reference's
+        # lr x gpu-count scalings (ssl_adv.py:72 discriminator_lr,
+        # ssl_gct.py:107 fd_lr) must scale by the data axis alone
+        self.n_dev = parallel.data_axis_size(self.mesh)
         self.lbs_local = lbs_local
         self.ubs_local = ubs_local
         self.iters_per_epoch = iters_per_epoch

@@ -148,3 +148,22 @@ def test_s4l_aux_head_spatial_runs():
 def test_make_mesh_2d_validates():
     with pytest.raises(ValueError):
         parallel.make_mesh_2d(3)  # 3 does not divide 8
+
+
+def test_ctx_n_dev_is_data_axis_under_spatial_mesh():
+    """TaskContext.n_dev drives the reference's lr x gpu-count scalings
+    (AdvSSL discriminator_lr, GCT fd_lr — reference ssl_adv.py:72,
+    ssl_gct.py:107). Under a ('data','spatial') mesh only the data axis
+    multiplies the global batch, so n_dev must be the data-axis size, not
+    the raw device count."""
+    _, mesh, algo = _build('ssl_mt', 2, unlabeled_batch_size=4,
+                           ignore_unlabeled=False, cons_scale=1.0,
+                           cons_rampup_epochs=1, ema_decay=0.99,
+                           gaussian_noise_std=0.1)
+    assert mesh.devices.size == 8 and dict(mesh.shape)['spatial'] == 2
+    assert algo.ctx.n_dev == 4
+    _, mesh_dp, algo_dp = _build('ssl_mt', 0, unlabeled_batch_size=4,
+                                 ignore_unlabeled=False, cons_scale=1.0,
+                                 cons_rampup_epochs=1, ema_decay=0.99,
+                                 gaussian_noise_std=0.1)
+    assert algo_dp.ctx.n_dev == mesh_dp.devices.size == 8
