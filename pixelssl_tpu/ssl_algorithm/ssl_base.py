@@ -311,8 +311,7 @@ class SSLBase(object):
         every validation batch."""
         fn = getattr(self, '_gather_fn', None)
         if fn is None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            rep = NamedSharding(self.ctx.mesh, P())  # prefix: all leaves
+            rep = parallel.replicate_sharding(self.ctx.mesh)  # prefix: all
             fn = self._gather_fn = jax.jit(_tree_identity, out_shardings=rep)
         return fn(tree)
 
@@ -395,20 +394,20 @@ class SSLBase(object):
         with ocp.StandardCheckpointer() as ckptr:
             try:
                 restored = ckptr.restore(path, template)
-            except SystemExit:
-                raise
             except Exception as exc:
-                # surface orbax tree-mismatch errors as a framework-level
-                # message: the usual causes are a checkpoint written by an
-                # incompatible build (e.g. a pre-rename key layout) or a
-                # different model/algorithm configuration
+                # surface orbax restore errors as a framework-level
+                # message (keeping the original traceback in the log for
+                # I/O-type failures): a tree-structure mismatch usually
+                # means the checkpoint was written by an incompatible
+                # build or a different model/algorithm configuration
+                import traceback
                 logger.log_err(
-                    'Failed to restore checkpoint at {0}:\n  {1}: {2}\n  '
+                    'Failed to restore checkpoint at {0}:\n{1}\n  '
                     'A tree-structure mismatch usually means the '
                     'checkpoint was written by an older/incompatible '
                     'build or a different model/algorithm configuration '
                     'than this run.'.format(
-                        path, type(exc).__name__, exc))
+                        path, traceback.format_exc().rstrip()))
         saved_name = _decode_name(restored['algorithm_name'])
         if saved_name != self.NAME:
             logger.log_err('Checkpoint at {0} was saved by SSL algorithm '
