@@ -9,6 +9,7 @@ setup(
     version=__version__,  # noqa: F821
     description='TPU-native toolbox for semi-supervised pixel-wise vision '
                 'tasks (JAX/XLA/pallas rebuild of the PixelSSL capabilities)',
+    license='MIT',
     packages=find_packages(include=['pixelssl_tpu', 'pixelssl_tpu.*']),
     python_requires='>=3.10',
     install_requires=[
