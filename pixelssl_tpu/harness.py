@@ -10,21 +10,37 @@ from . import parallel, runner
 from .nn import lrer as nnlrer
 from .nn import optimizer as nnoptimizer
 
+_TASK_DEFAULTS = {
+    'sseg': {'model': 'deeplabv2', 'criterion': 'sseg_criterion'},
+    'sreg': {'model': 'unet_lite', 'criterion': 'sreg_criterion'},
+}
 
-def default_args(ssl_algorithm='ssl_null', **overrides):
-    """Full-default args namespace for the sseg task + given algorithm."""
-    from .tasks import sseg
+
+def _task_module(task):
+    if task == 'sseg':
+        from .tasks import sseg
+        return sseg
+    if task == 'sreg':
+        from .tasks import sreg
+        return sreg
+    raise ValueError('Unknown task: {0!r}'.format(task))
+
+
+def default_args(ssl_algorithm='ssl_null', task='sseg', **overrides):
+    """Full-default args namespace for the given task + algorithm."""
     parser = runner.create_parser(ssl_algorithm)
-    sseg.add_parser_arguments(parser)
+    _task_module(task).add_parser_arguments(parser)
     args = parser.parse_args([])
     args.ssl_algorithm = ssl_algorithm
+    args.task = task
     for k, v in overrides.items():
         setattr(args, k.replace('-', '_'), v)
     if not args.models:
-        args.models = {'model': 'deeplabv2'}
+        defaults = _TASK_DEFAULTS[task]
+        args.models = {'model': defaults['model']}
         args.optimizers = {'model': 'sgd'}
         args.lrers = {'model': 'polynomiallr'}
-        args.criterions = {'model': 'sseg_criterion'}
+        args.criterions = {'model': defaults['criterion']}
     args.labeled_batch_size = args.batch_size - args.unlabeled_batch_size
     return args
 
@@ -33,7 +49,8 @@ def build_algorithm(args, mesh=None, iters_per_epoch=10):
     """Resolve component dicts and build the algorithm (mirrors
     proxy._build_ssl_algorithm, reference proxy.py:421-441)."""
     from . import ssl_algorithm as ssl_registry
-    from .tasks import sseg
+
+    task = _task_module(getattr(args, 'task', 'sseg') or 'sseg')
 
     spatial = int(getattr(args, 'spatial_train', 0) or 0)
     if mesh is None:
@@ -46,11 +63,11 @@ def build_algorithm(args, mesh=None, iters_per_epoch=10):
 
     model_dict, criterion_dict, optimizer_dict, lrer_dict = {}, {}, {}, {}
     for cname in args.models.keys():
-        model_dict[cname] = getattr(sseg.model, args.models[cname])()(args)
-        criterion_dict[cname] = getattr(sseg.criterion, args.criterions[cname])()(args)
+        model_dict[cname] = getattr(task.model, args.models[cname])()(args)
+        criterion_dict[cname] = getattr(task.criterion, args.criterions[cname])()(args)
         lrer_dict[cname] = getattr(nnlrer, args.lrers[cname])(args)
         optimizer_dict[cname] = getattr(nnoptimizer, args.optimizers[cname])(args)
-    task_func = sseg.func.task_func()(args)
+    task_func = task.func.task_func()(args)
 
     if spatial > 1:
         # GSPMD mode: the step function sees the GLOBAL batch
@@ -84,10 +101,16 @@ def synthetic_batch(args, mesh, seed=0):
     b = args.batch_size
     s = args.im_size
     img = rng.standard_normal((b, s, s, 3)).astype(np.float32)
-    gt = rng.integers(0, args.num_classes, (b, s, s)).astype(np.int32)
-    lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
-    if ubs > 0:
-        gt[lbs:] = -1  # fake label (reference data.py:104-105)
+    if getattr(args, 'task', 'sseg') == 'sreg':
+        gt = rng.uniform(0.0, 1.0, (b, s, s, 1)).astype(np.float32)
+        lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
+        if ubs > 0:
+            gt[lbs:] = 0.0  # unlabeled placeholder (tasks/sreg/data.py)
+    else:
+        gt = rng.integers(0, args.num_classes, (b, s, s)).astype(np.int32)
+        lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
+        if ubs > 0:
+            gt[lbs:] = -1  # fake label (reference data.py:104-105)
     if parallel.is_spatial_mesh(mesh):
         # GSPMD mode: global labeled-first order, no per-device re-blocking
         return parallel.shard_train_batch({'inp': (img,), 'gt': (gt,)}, mesh)

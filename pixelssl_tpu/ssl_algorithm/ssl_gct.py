@@ -210,10 +210,15 @@ class SSLGCT(SSLBase):
         self.r_tx = self._r_opt_factory.make(
             self.r_lr_schedule, self.r_model.lr_mult(r_vars['params']))
 
-        n_classes_pred = self.args.num_classes
+        # pred channels derived from the same task hook that sizes the flaw
+        # detector (reference ssl_gct.py builds FlawDetector from
+        # task_func.sslgct_fd_in_channels()) — keeps GCT task-agnostic
+        # (works for REGRESSION tasks with no `num_classes` flag)
+        pred_ch = (int(self.ctx.task_func.sslgct_fd_in_channels())
+                   - int(example[0].shape[-1]))
         local_b = example[0].shape[0]
         im = example[0].shape[1:3]
-        fd_example_pred = jnp.zeros((local_b,) + im + (n_classes_pred,),
+        fd_example_pred = jnp.zeros((local_b,) + im + (pred_ch,),
                                     jnp.float32)
         fd_vars = self.fd_module.init(k_fd, tuple(map(jnp.asarray, example)),
                                       fd_example_pred, train=False)

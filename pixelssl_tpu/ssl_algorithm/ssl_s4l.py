@@ -33,7 +33,7 @@ from ..models.rotation import RotationClassifier
 from ..nn.func import split_tensor_tuple
 from ..parallel import DATA_AXIS
 from ..utils import logger
-from ..utils.constant import CLASSIFICATION
+from ..utils.constant import REGRESSION, CLASSIFICATION
 from .ssl_base import SSLBase, TaskContext, aux_compute_dtype
 
 
@@ -91,7 +91,9 @@ def rotate_batch(x, angles, spatial_axes=(1, 2)):
 
 class SSLS4L(SSLBase):
     NAME = 'ssl_s4l'
-    SUPPORTED_TASK_TYPES = [CLASSIFICATION]
+    # rotation pretext is task-agnostic: dense GT rotates with the input and
+    # the sup loss comes from the task criterion (reference ssl_s4l.py:52)
+    SUPPORTED_TASK_TYPES = [REGRESSION, CLASSIFICATION]
 
     def __init__(self, args, ctx):
         super(SSLS4L, self).__init__(args, ctx)
