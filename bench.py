@@ -107,4 +107,20 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # the TPU tunnel occasionally flakes at backend init (setup/compile
+        # Unavailable); jax caches the failed backend in-process, so retry
+        # via re-exec with backoff rather than a loop
+        import os
+        import sys
+
+        attempt = int(os.environ.get('BENCH_ATTEMPT', '0'))
+        if 'Unable to initialize backend' in str(e) and attempt < 2:
+            print('bench: TPU backend unavailable (attempt {0}); retrying '
+                  'in 120 s'.format(attempt + 1), file=sys.stderr)
+            time.sleep(120)
+            os.environ['BENCH_ATTEMPT'] = str(attempt + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
