@@ -12,7 +12,9 @@ config = base_config(
     sublabeled_ratio='1-8',
     deltas=[('adv_for_labeled', True), ('labeled_adv_scale', 0.01),
     ('unlabeled_adv_scale', 0.001), ('discriminator_lr', 0.0001),
-    ('unlabeled_for_discriminator', True)],
+    ('unlabeled_for_discriminator', True),
+    # vestigial in the reference (lrer is polynomiallr) — kept for parity
+    ('milestones', [10, 20]), ('gamma', 0.1)],
 )
 
 if __name__ == '__main__':

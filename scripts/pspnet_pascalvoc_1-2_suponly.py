@@ -10,6 +10,9 @@ from _common import base_config, run
 config = base_config(
     __file__, model='pspnet', ssl_algorithm='ssl_null', epochs=80,
     sublabeled_ratio='1-2',
+    # reference: ImageNet backbone (not COCO) and no published checkpoint —
+    # out-of-box TRAINING mode (resume/validation commented out upstream)
+    deltas=[('backbone', 'resnet101'), ('resume', ''), ('validation', False)],
 )
 
 if __name__ == '__main__':

@@ -12,7 +12,8 @@ config = base_config(
     sublabeled_ratio='1-8',
     deltas=[('adv_for_labeled', True), ('labeled_adv_scale', 0.001),
     ('unlabeled_adv_scale', 0.0001), ('discriminator_lr', 0.0001),
-    ('unlabeled_for_discriminator', True)],
+    ('unlabeled_for_discriminator', True),
+    ('checkpoint_freq', 5)],
 )
 
 if __name__ == '__main__':

@@ -13,7 +13,8 @@ config = base_config(
     deltas=[('cons_scale', 30.0), ('cons_rampup_epochs', 5),
     ('ad_lr_scale', 10.0), ('vat_dec_num', 1), ('drop_dec_num', 2),
     ('cut_dec_num', 2), ('context_dec_num', 1), ('object_dec_num', 1),
-    ('fn_dec_num', 2), ('fd_dec_num', 2)],
+    ('fn_dec_num', 2), ('fd_dec_num', 2),
+    ('checkpoint_freq', 5)],
 )
 
 if __name__ == '__main__':

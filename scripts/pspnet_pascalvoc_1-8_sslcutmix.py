@@ -13,7 +13,8 @@ config = base_config(
     deltas=[('cons_type', 'mse'), ('cons_scale', 20.0),
     ('cons_rampup_epochs', 0), ('cons_threshold', 0.97), ('ema_decay', 0.99),
     ('mask_prop_range', (0.5, 0.5)), ('batch_size', 6),
-    ('unlabeled_batch_size', 4)],
+    ('unlabeled_batch_size', 4),
+    ('checkpoint_freq', 5)],
 )
 
 if __name__ == '__main__':

@@ -11,7 +11,8 @@ config = base_config(
     __file__, model='pspnet', ssl_algorithm='ssl_mt', epochs=45,
     sublabeled_ratio='1-8',
     deltas=[('cons_for_labeled', False), ('cons_scale', 1.0),
-    ('cons_rampup_epochs', 5), ('ema_decay', 0.99)],
+    ('cons_rampup_epochs', 5), ('ema_decay', 0.99),
+    ('checkpoint_freq', 5)],
 )
 
 if __name__ == '__main__':

@@ -10,7 +10,9 @@ from _common import base_config, run
 config = base_config(
     __file__, model='pspnet', ssl_algorithm='ssl_s4l', epochs=45,
     sublabeled_ratio='1-8',
-    deltas=[('rotated_sup_scale', 0.1), ('rotation_scale', 0.1)],
+    # reference ships no pretrained ckpt for this config — TRAINING mode
+    deltas=[('rotated_sup_scale', 0.1), ('rotation_scale', 0.1),
+    ('resume', ''), ('validation', False)],
 )
 
 if __name__ == '__main__':

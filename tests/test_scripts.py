@@ -9,11 +9,13 @@ import pytest
 
 SCRIPTS_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'scripts')
-# rescore.py and quickstart_synthetic.py are CLI entry points (config
-# built inside main()), not config-as-code benchmark scripts
+# rescore.py / quickstart_synthetic.py / sreg_synthetic_sslmt.py are CLI
+# entry points (config built inside main()), not config-as-code benchmark
+# scripts
 SCRIPTS = sorted(f for f in os.listdir(SCRIPTS_DIR)
                  if f.endswith('.py') and not f.startswith('_')
-                 and f not in ('rescore.py', 'quickstart_synthetic.py'))
+                 and f not in ('rescore.py', 'quickstart_synthetic.py',
+                               'sreg_synthetic_sslmt.py'))
 
 
 def _load_config(path):
