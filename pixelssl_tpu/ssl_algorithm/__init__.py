@@ -14,7 +14,16 @@ from . import ssl_gct
 from . import ssl_cct
 from . import ssl_cutmix
 
+# algorithm-name constants, mirroring the reference's public API
+# (reference ssl_algorithm/__init__.py:10-16; scripts there say
+# `pixelssl.SSL_MT` instead of 'ssl_mt')
 SSL_NULL = ssl_null.SSLNULL.NAME
+SSL_MT = ssl_mt.SSLMT.NAME
+SSL_ADV = ssl_adv.SSLADV.NAME
+SSL_S4L = ssl_s4l.SSLS4L.NAME
+SSL_GCT = ssl_gct.SSLGCT.NAME
+SSL_CCT = ssl_cct.SSLCCT.NAME
+SSL_CUTMIX = ssl_cutmix.SSLCUTMIX.NAME
 
 _MODULES = {
     ssl_null.SSLNULL.NAME: ssl_null,
