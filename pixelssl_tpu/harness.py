@@ -101,14 +101,13 @@ def synthetic_batch(args, mesh, seed=0):
     b = args.batch_size
     s = args.im_size
     img = rng.standard_normal((b, s, s, 3)).astype(np.float32)
+    lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
     if getattr(args, 'task', 'sseg') == 'sreg':
         gt = rng.uniform(0.0, 1.0, (b, s, s, 1)).astype(np.float32)
-        lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
         if ubs > 0:
             gt[lbs:] = 0.0  # unlabeled placeholder (tasks/sreg/data.py)
     else:
         gt = rng.integers(0, args.num_classes, (b, s, s)).astype(np.int32)
-        lbs, ubs = args.labeled_batch_size, args.unlabeled_batch_size
         if ubs > 0:
             gt[lbs:] = -1  # fake label (reference data.py:104-105)
     if parallel.is_spatial_mesh(mesh):

@@ -12,11 +12,26 @@ A task dataset is any object with:
   reference faked a ``-1`` label map, task/sseg/data.py:104-105).
 """
 
+import zlib
+
 import numpy as np
 
 
 def add_parser_arguments(parser):
     pass
+
+
+def dataset_root_key(args, is_train):
+    """Stable hash of the dataset root path(s), for synthetic datasets to
+    fold into their sample RNG so two datasets pointed at different roots
+    (e.g. a labeled trainset and a dedicated --unlabeledset) produce
+    DIFFERENT samples rather than byte-identical copies."""
+    roots = (getattr(args, 'trainset', None) if is_train
+             else getattr(args, 'valset', None)) or {}
+    flat = []
+    for v in roots.values():
+        flat.extend(v if isinstance(v, (list, tuple)) else [v])
+    return zlib.crc32('|'.join(sorted(str(p) for p in flat)).encode('utf8'))
 
 
 class TaskDataset(object):

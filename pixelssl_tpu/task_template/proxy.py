@@ -20,6 +20,7 @@ frequencies. TPU-first changes:
 """
 
 import copy
+import functools
 import os
 
 import jax
@@ -538,21 +539,28 @@ class _ValLoader(object):
         from jax.sharding import NamedSharding, PartitionSpec as P
         n = self.mesh.devices.size
 
-        def put_leaf(x):
+        def put_leaf(x, fill):
             x = np.asarray(x)
             if x.ndim >= 3:  # [B, H, ...]: pad H to mesh multiple, shard H
                 pad = (-x.shape[1]) % n
                 if pad:
                     widths = [(0, 0)] * x.ndim
                     widths[1] = (0, pad)
-                    fill = self.ignore_index if np.issubdtype(
-                        x.dtype, np.integer) else 0
                     x = np.pad(x, widths, constant_values=fill)
                 spec = P(None, parallel.DATA_AXIS)
             else:
                 spec = P()
             return jax.device_put(x, NamedSharding(self.mesh, spec))
-        return jax.tree.map(put_leaf, batch)
+
+        # GT pads with ignore_index whatever its dtype (float-GT regression
+        # tasks mask on the same sentinel, tasks/sreg/criterion.py); inputs
+        # and masks pad with 0
+        return {key: jax.tree.map(
+                    functools.partial(
+                        put_leaf,
+                        fill=self.ignore_index if key == 'gt' else 0),
+                    sub)
+                for key, sub in batch.items()}
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size

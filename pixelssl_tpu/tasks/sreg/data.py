@@ -16,6 +16,7 @@ task_template/data.py).
 import numpy as np
 
 from ...task_template import data_template
+from ...task_template.data import dataset_root_key
 
 
 def add_parser_arguments(parser):
@@ -41,11 +42,14 @@ class SyntheticSregDataset(data_template.TaskDataset):
         self.im_size = args.im_size or 64
         self.noise_std = getattr(args, 'noise_std', 0.05)
         self._seed = getattr(args, 'seed', 0) or 0
-        # validation uses a disjoint index stream
+        # validation uses a disjoint index stream; the root hash separates
+        # labeled / unlabeled roots of the same synthetic type
         self._stream = 104729 if is_train else 1299709
+        self._root_key = dataset_root_key(args, is_train)
 
     def __getitem__(self, idx):
-        rng = np.random.default_rng((self._seed, self._stream, idx))
+        rng = np.random.default_rng(
+            (self._seed, self._stream, self._root_key, idx))
         s = self.im_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ...models.layers import SyncBatchNorm, resize_bilinear
 from ...parallel import DATA_AXIS
+from ...utils import cmd
 from ...task_template import model_template
 
 
@@ -23,7 +24,7 @@ def add_parser_arguments(parser):
     model_template.add_parser_arguments(parser)
     parser.add_argument('--base-channels', type=int, default=32,
                         help='sreg - width of the first encoder stage')
-    parser.add_argument('--bf16', type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+    parser.add_argument('--bf16', type=cmd.str2bool,
                         default=True,
                         help='sreg - bfloat16 conv compute (fp32 statistics/losses)')
 

@@ -18,6 +18,7 @@ import threading
 import numpy as np
 from PIL import Image, ImageOps
 
+from ...utils import cmd
 from ...task_template import data_template
 from ...utils import logger
 
@@ -27,7 +28,7 @@ VOC_STD = (0.229, 0.224, 0.225)
 
 def add_parser_arguments(parser):
     data_template.add_parser_arguments(parser)
-    parser.add_argument('--val-rescaling', type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+    parser.add_argument('--val-rescaling', type=cmd.str2bool,
                         default=False,
                         help='sseg - rescale the short edge of val images to im_size')
     parser.add_argument('--train-base-size', type=int, default=400,
@@ -35,7 +36,7 @@ def add_parser_arguments(parser):
     parser.add_argument('--synthetic-samples', type=int, default=64,
                         help='sseg - sample count of the synthetic dataset')
     parser.add_argument('--native-augment',
-                        type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+                        type=cmd.str2bool,
                         default=False,
                         help='sseg - use the fused C++ augmentation library '
                              '(faster; point-sampled bilinear instead of '
@@ -283,9 +284,13 @@ class SyntheticSsegDataset(data_template.TaskDataset):
         self.im_size = args.im_size or 64
         self.num_classes = args.num_classes
         self._seed = getattr(args, 'seed', 0) or 0
+        # fold the dataset root into the RNG so distinct roots (labeled vs
+        # --unlabeledset) yield distinct samples, not byte-identical copies
+        self._root_key = data_template.dataset_root_key(args, is_train)
 
     def __getitem__(self, idx):
-        rng = np.random.default_rng((self._seed, 7919, idx))
+        rng = np.random.default_rng(
+            (self._seed, 7919, self._root_key, idx))
         s = self.im_size
         img = rng.standard_normal((s, s, 3)).astype(np.float32)
         # blocky labels so the loss is learnable

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ...models.deeplab_v2 import DeepLabV2
 from ...models.pspnet import PSPNet
 from ...parallel import DATA_AXIS
+from ...utils import cmd
 from ...task_template import model_template
 
 
@@ -22,16 +23,16 @@ def add_parser_arguments(parser):
                         help='sseg - output stride of the ResNet backbone')
     parser.add_argument('--backbone', type=str, default='resnet101',
                         help='sseg - backbone architecture')
-    parser.add_argument('--freeze-bn', type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+    parser.add_argument('--freeze-bn', type=cmd.str2bool,
                         default=False, help='sseg - freeze BatchNorm statistics')
     parser.add_argument('--pretrained-path', type=str, default='',
                         help='sseg - path to a converted pretrained backbone '
                              '(torch→jax, see models/convert.py)')
-    parser.add_argument('--remat', type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+    parser.add_argument('--remat', type=cmd.str2bool,
                         default=False,
                         help='sseg - rematerialize backbone activations in the '
                              'backward pass (larger batch/resolution per HBM)')
-    parser.add_argument('--bf16', type=lambda v: str(v).lower() in ('1', 'true', 'yes'),
+    parser.add_argument('--bf16', type=cmd.str2bool,
                         default=True,
                         help='sseg - bfloat16 conv compute (fp32 statistics/losses)')
 
