@@ -79,6 +79,29 @@ def _val_scores(proxy):
     return keys
 
 
+def test_synthetic_roots_yield_distinct_samples():
+    """A dedicated --unlabeledset must contain different samples than the
+    labeled trainset — not byte-identical copies (dataset_root_key folds
+    the root path into the per-sample RNG, task_template/data.py)."""
+    import types
+
+    from pixelssl_tpu.tasks.sreg.data import SyntheticSregDataset
+    from pixelssl_tpu.tasks.sseg.data import SyntheticSsegDataset
+
+    def mkargs(root):
+        return types.SimpleNamespace(
+            trainset={'synthetic': [root]}, valset={'synthetic': [root]},
+            im_size=16, synthetic_samples=4, noise_std=0.05, seed=0,
+            num_classes=4)
+
+    for cls in (SyntheticSregDataset, SyntheticSsegDataset):
+        a = cls(mkargs('/tmp'), True)[0][0][0]
+        b = cls(mkargs('/tmp/u'), True)[0][0][0]
+        c = cls(mkargs('/tmp'), True)[0][0][0]
+        assert not np.array_equal(a, b), cls.__name__
+        assert np.array_equal(a, c), cls.__name__  # deterministic per root
+
+
 def test_sreg_suponly_e2e(tmp_path):
     proxy = pixelssl_tpu.run_script(
         _config(tmp_path, 'ssl_null', epochs=8, synthetic_samples=32,
