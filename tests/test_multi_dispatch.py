@@ -69,9 +69,12 @@ def test_multi_dispatch_matches_single_step(tmp_path):
 
     leaves1 = jax.tree.leaves(s1['model']['params'])
     leaves2 = jax.tree.leaves(s2['model']['params'])
-    # fp32 reassociation between the two programs is ~1 ULP per step; a
-    # logic bug (wrong batch order, skipped/duplicated step, stale rng)
-    # shows up as O(1e-1) drift
+    # the scan and single-step programs compile to different fusions, so
+    # fp32 reassociation noise is amplified through the training-mode BN
+    # feedback; measured max drift across data draws is ~2e-4 on a few
+    # high-gradient early-conv elements. A logic bug (wrong batch order,
+    # skipped/duplicated step, stale rng) shows up as O(1e-1) drift, so
+    # 5e-4 keeps 200x headroom while tolerating the float noise.
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-4)
+                                   rtol=1e-3, atol=5e-4)
