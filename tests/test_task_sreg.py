@@ -144,6 +144,26 @@ def test_sreg_ssl_algorithm_e2e(tmp_path, algo):
         assert np.isfinite(v), '{0} not finite'.format(k)
 
 
+@pytest.mark.parametrize('mode', ['bucketed', 'spatial'])
+def test_sreg_val_padding_never_scores_fake_pixels(tmp_path, mode):
+    """Validation padding must be masked out of regression metrics in BOTH
+    val modes. im_size 36 forces real padding (bucketed pads to 64;
+    --spatial-val pads H to the mesh multiple 40) — the metrics' valid-
+    pixel denominator must equal exactly n_samples * 36 * 36. Regression
+    test for the float-GT fill defect (spatial H-padding used to fill GT
+    with 0.0, a VALID alpha, instead of ignore_index)."""
+    over = dict(validation=True, im_size=36, synthetic_samples=6,
+                exp_id='sreg_pad_{0}'.format(mode))
+    if mode == 'spatial':
+        over['spatial_val'] = True
+    proxy = pixelssl_tpu.run_script(_config(tmp_path, 'ssl_null', **over),
+                                    sreg, sreg.PixelRegressionProxy)
+    meters = proxy.ssl_algorithm.meters
+    sums_key = [k for k in meters.keys() if k.endswith('_err_sums')][0]
+    n_valid = float(meters[sums_key].sum[2])
+    assert n_valid == 6 * 36 * 36, n_valid
+
+
 @pytest.mark.parametrize('algo,flags', [
     ('ssl_cct', dict(cons_scale=1.0, cons_rampup_epochs=1, ad_lr_scale=10.0,
                      vat_dec_num=1, drop_dec_num=1, cut_dec_num=1,
