@@ -164,6 +164,29 @@ def test_sreg_val_padding_never_scores_fake_pixels(tmp_path, mode):
     assert n_valid == 6 * 36 * 36, n_valid
 
 
+def test_sreg_spatial_train_step():
+    """sreg under --spatial-train: the GSPMD 2-D (data, spatial) mesh must
+    accept the regression task's float GT (UNetLite switches SyncBatchNorm
+    to plain reductions, tasks/sreg/model.py)."""
+    import jax as _jax
+
+    from pixelssl_tpu import harness
+
+    args = harness.default_args(
+        'ssl_mt', task='sreg', im_size=32, base_channels=8,
+        batch_size=4, unlabeled_batch_size=2, ignore_unlabeled=False,
+        cons_scale=1.0, cons_rampup_epochs=1, ema_decay=0.99,
+        gaussian_noise_std=0.1, lr=0.01, momentum=0.9, epochs=1,
+        spatial_train=2)
+    algo = harness.build_algorithm(args, mesh=None)
+    assert dict(algo.ctx.mesh.shape)['spatial'] == 2
+    batch = harness.synthetic_batch(args, algo.ctx.mesh)
+    state, metrics = algo._train_step(algo.state, batch)
+    _jax.block_until_ready(metrics)
+    assert np.isfinite(float(np.asarray(metrics['s_task_loss'])))
+    assert int(np.asarray(state['step'])) == 1
+
+
 @pytest.mark.parametrize('algo,flags', [
     ('ssl_cct', dict(cons_scale=1.0, cons_rampup_epochs=1, ad_lr_scale=10.0,
                      vat_dec_num=1, drop_dec_num=1, cut_dec_num=1,
