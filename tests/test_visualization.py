@@ -62,7 +62,7 @@ def test_visualization_writes_pngs(tmp_path):
         assert Image.open(p).size == (32, 32)
 
 
-def _debug_viz_run(tmp_path, algo_name, extra):
+def _debug_viz_run(tmp_path, algo_name, extra, task='sseg'):
     """Train 1 epoch with --visualize through the harness-level loop."""
     import numpy as np
     from pixelssl_tpu import harness, parallel
@@ -77,7 +77,7 @@ def _debug_viz_run(tmp_path, algo_name, extra):
                 visualize=True, visual_freq=1, log_freq=10,
                 visual_train_path=str(viz_dir))
     base.update(extra)
-    args = harness.default_args(algo_name, **base)
+    args = harness.default_args(algo_name, task=task, **base)
     algo = harness.build_algorithm(args, mesh=mesh)
     batches = [harness.synthetic_batch(args, mesh, seed=s) for s in range(2)]
     algo.train(batches, epoch=0)
@@ -102,4 +102,18 @@ def test_gct_debug_visualization(tmp_path):
              dc_threshold=0.5, dc_rampup_epochs=1, mu=0.5, nu=1)))
     for token in ('l-fmap.png', 'r-fmap.png', 'l-fmap-gt', 'r-fmap-gt',
                   'l-pseudo-gt', 'r-pseudo-gt'):
+        assert token in names, 'missing debug dump: ' + token
+
+
+def test_gct_debug_visualization_sreg(tmp_path):
+    """The same GCT debug dumps must work for the REGRESSION task, whose
+    visualize_pseudo_gt renders grayscale alpha instead of a colorized
+    argmax (tasks/sreg/func.py)."""
+    names = ' '.join(_debug_viz_run(
+        tmp_path, 'ssl_gct',
+        dict(im_size=64, base_channels=8, ssl_mode='gct', fc_ssl_scale=1.0,
+             dc_ssl_scale=1.0, dc_threshold=0.5, dc_rampup_epochs=1,
+             mu=0.5, nu=1),
+        task='sreg'))
+    for token in ('l-fmap.png', 'r-fmap.png', 'l-pseudo-gt', 'r-pseudo-gt'):
         assert token in names, 'missing debug dump: ' + token
