@@ -3,26 +3,27 @@
 Model/task mirror the reference's headline DeepLab-v2 benchmark
 (task/sseg/script/deeplabv2_pascalvoc_1-8_sslmt.py: ResNet-101, im 321,
 Mean Teacher) — the canonical SSL step (double forward + backward + EMA).
-Batch is the measured per-chip production point (8 labeled + 4 unlabeled;
-BASELINE.md batch-scaling sweep — the reference's 4+2 per device is a
+Batch is the measured per-chip production point, b8+4 in the harness
+notation: 8 samples per chip per step of which 4 are unlabeled
+(BASELINE.md batch-scaling sweep — the reference's b4+2 per device is a
 GPU-memory-era choice, and a v5e chip is ~2x under-fed at it).
 
 Measurement: K train steps run inside ONE ``lax.scan`` dispatch (the same
 multi-step pattern a production loop uses to hide host latency), so the
 number reflects device throughput rather than host/tunnel round-trips.
-Reported as samples/s/chip (labeled stream; unlabeled rides along at the
-same ratio as the reference config) so the value is comparable across
-batch points — round 1 recorded 61.03 steps/s at b4+2 = 366 samples/s.
+Reported as samples/s/chip (total per-chip samples; the labeled:unlabeled
+ratio matches the reference config) so the value is comparable across
+batch points — round 1 recorded 61.03 steps/s at b4+2 = 244 samples/s.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). The
 ``vs_baseline`` denominator is an ESTIMATED PyTorch DataParallel Mean-
 Teacher rate for DeepLab-v2/ResNet-101 @321 on one V100-class GPU
 (~1.3 steps/s: double forward + backward + Python-loop EMA + per-forward
-scatter/gather), counted in the SAME unit as ``value`` — labeled
-samples/s, i.e. 1.3 steps/s x 4 labeled per step at the reference's b4+2
-config = ~5.2 labeled samples/s (the unlabeled stream rides along at the
-same ratio on both sides). Revisit when a measured torch-GPU number
-exists.
+scatter/gather), counted in the SAME unit as ``value`` — total samples/s,
+i.e. 1.3 steps/s x 4 samples per step at the reference's b4+2 config
+= ~5.2 samples/s (both sides count total samples at the same
+labeled:unlabeled ratio, so the ratio is accounting-invariant). Revisit
+when a measured torch-GPU number exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -30,11 +31,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import time
 
-# estimated torch DataParallel MT rate, labeled samples/s (1.3 steps/s x 4
-# labeled per step) — same labeled-only accounting as `value` below
+# estimated torch DataParallel MT rate, total samples/s (1.3 steps/s x 4
+# samples per step at the reference's b4+2) — same total-samples
+# accounting as `value` below
 BASELINE_SAMPLES_PER_SEC = 1.3 * 4.0
 SCAN_STEPS = 32
-BATCH_PER_CHIP = 8          # labeled; production point from BASELINE.md
+BATCH_PER_CHIP = 8          # total per chip; production point, BASELINE.md
 UNLABELED_PER_CHIP = 4
 
 
