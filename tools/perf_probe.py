@@ -4,8 +4,8 @@ steps per dispatch, prints steps/s/chip + samples/s/chip as one JSON line.
 Usage::
 
     python tools/perf_probe.py --algo ssl_mt --backbone resnet101 \
-        --im-size 321 --batch 4 --unlabeled 2 [--remat 1] [--scan 32] \
-        [--extra '{"ema_decay": 0.99}']
+        --im-size 321 --batch 4 --unlabeled 2 [--model pspnet] \
+        [--remat 1] [--scan 32] [--extra '{"ema_decay": 0.99}']
 
 The measurement pattern matches bench.py: steps run inside one lax.scan
 dispatch so the number reflects device throughput, not tunnel RPC latency
@@ -44,6 +44,8 @@ ALGO_DEFAULTS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--algo', default='ssl_mt')
+    ap.add_argument('--model', default='deeplabv2',
+                    choices=['deeplabv2', 'pspnet'])
     ap.add_argument('--backbone', default='resnet101')
     ap.add_argument('--im-size', type=int, default=321)
     ap.add_argument('--batch', type=int, default=4, help='per-chip total')
@@ -76,6 +78,13 @@ def main():
                ignore_unlabeled=(opts.algo == 'ssl_null'),
                lr=0.00025, momentum=0.9, weight_decay=0.0005, epochs=20,
                remat=bool(opts.remat))
+    if opts.model != 'deeplabv2':
+        # full component dicts, as harness.default_args only fills the
+        # task defaults when `models` is unset
+        cfg.update(models={'model': opts.model},
+                   optimizers={'model': 'sgd'},
+                   lrers={'model': 'polynomiallr'},
+                   criterions={'model': 'sseg_criterion'})
     cfg.update(ALGO_DEFAULTS[opts.algo])
     cfg.update(opts.extra)
     args = harness.default_args(opts.algo, **cfg)
@@ -115,7 +124,7 @@ def main():
     total_steps = opts.calls * (opts.scan + 1)
     sps = total_steps / dt / n_dev
     print(json.dumps({
-        'algo': opts.algo, 'backbone': opts.backbone,
+        'algo': opts.algo, 'model': opts.model, 'backbone': opts.backbone,
         'im_size': opts.im_size,
         'batch_per_chip': opts.batch, 'unlabeled_per_chip': opts.unlabeled,
         'remat': bool(opts.remat), 'extra': opts.extra,
