@@ -36,6 +36,13 @@ def force_cpu_mesh(n_devices, warn_stuck_secs=120, terminate_secs=1200):
         '--xla_cpu_collective_call_terminate_timeout_seconds={0}'.format(
             terminate_secs),
         '--xla_cpu_collective_timeout_seconds={0}'.format(terminate_secs),
+        # Portable ISA cap: without it, XLA:CPU AOT-compiles for the full
+        # feature set of the build host (AMX / AVX-512 here), and a
+        # persistent-cache entry loaded on a lesser x86-64 host is
+        # rejected (cpu_aot_loader: "machine feature ... not supported",
+        # SIGILL risk) — every gate/test program then recompiles cold.
+        # AVX2 runs everywhere we care about and keeps caches shareable.
+        '--xla_cpu_max_isa=AVX2',
     ]
     prefixes = tuple(f.split('=')[0] + '=' for f in flags)
     kept = [tok for tok in os.environ.get('XLA_FLAGS', '').split()

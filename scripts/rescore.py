@@ -59,6 +59,8 @@ def rescore(script_name, torch_ckpt, voc_root=None, save=True, mesh=None,
     import numpy as np
     import torch
 
+    # accept both `deeplabv2_..._suponly` and `scripts/deeplabv2_..._suponly.py`
+    script_name = os.path.basename(script_name)
     script_name = script_name[:-3] if script_name.endswith('.py') else script_name
     mod = importlib.import_module(script_name)
     config = dict(mod.config)

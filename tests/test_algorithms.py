@@ -10,7 +10,7 @@ import jax
 from pixelssl_tpu import harness, parallel
 
 
-def _run_steps(algo_name, n_steps=2, **flags):
+def _run_steps(algo_name, n_steps=2, positive=(), **flags):
     mesh = parallel.make_mesh()
     n = mesh.devices.size
     base = dict(backbone='resnet10', im_size=32, num_classes=5,
@@ -26,6 +26,12 @@ def _run_steps(algo_name, n_steps=2, **flags):
     metrics = jax.device_get(metrics)
     for k, v in metrics.items():
         assert np.isfinite(float(np.asarray(v))), 'metric {0} not finite'.format(k)
+    # strictly-positive where the SSL math guarantees it at init — a
+    # silently-zeroed consistency/adversarial/rotation loss must FAIL
+    # (round-2 verdict item #3)
+    for k in positive:
+        v = float(np.asarray(metrics[k]))
+        assert v > 0.0, 'metric {0} must be > 0 at init, got {1!r}'.format(k, v)
     assert int(np.asarray(state['step'])) == n_steps
     return algo, state, metrics
 

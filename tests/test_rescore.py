@@ -63,8 +63,10 @@ def test_rescore_fixture_e2e(tmp_path, monkeypatch):
     _reference_style_ckpt(ckpt)
 
     monkeypatch.chdir(tmp_path)  # pretrained/ + result/ land in tmp
+    # the README's path-prefixed form must resolve too (ADVICE round 2:
+    # rescore.py now basenames the script arg)
     results = rescore_mod.rescore(
-        'deeplabv2_pascalvoc_1-8_suponly', ckpt, voc_root=voc,
+        'scripts/deeplabv2_pascalvoc_1-8_suponly.py', ckpt, voc_root=voc,
         overrides={'backbone': 'resnet10', 'im_size': 65,
                    'out_path': str(tmp_path / 'result'),
                    'num_workers': 0})

@@ -132,6 +132,27 @@ def test_mt_two_stream_spatial_runs():
     assert not np.allclose(p0, p1)
 
 
+def test_adv_spatial_train_runs():
+    """AdvSSL's multi-optimizer GAN step under the 2-D (4 data × 2
+    spatial) mesh — also guards the discriminator-lr × data-axis scaling
+    (ctx.n_dev must be the data axis, not the raw device count).  This
+    case used to run inside the driver's dryrun_multichip gate; it lives
+    here so the gate fits a cold-compile budget (round-2 verdict #1)."""
+    args, mesh, algo = _build(
+        'ssl_adv', spatial=2,
+        batch_size=8, unlabeled_batch_size=4, ignore_unlabeled=False,
+        adv_for_labeled=True, labeled_adv_scale=0.01,
+        unlabeled_adv_scale=0.001)
+    assert mesh.shape == {'data': 4, 'spatial': 2}
+    assert algo.ctx.n_dev == 4, algo.ctx.n_dev
+    batch = harness.synthetic_batch(args, mesh, seed=3)
+    state, metrics = algo._train_step(algo.state, batch)
+    for k in ('task_loss', 'labeled_adv_loss', 'unlabeled_adv_loss',
+              'fake_d_loss', 'real_d_loss'):
+        v = float(np.asarray(metrics[k]))
+        assert np.isfinite(v) and v > 0.0, (k, v)
+
+
 def test_s4l_aux_head_spatial_runs():
     """S4L's in-step rotation doubling + aux BN head under GSPMD (the aux
     module must pick up ctx.axis_name=None, not the shard_map axis)."""

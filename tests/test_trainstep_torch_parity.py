@@ -148,3 +148,179 @@ def test_suponly_trainstep_matches_torch():
         ['backbone_net']['bn1']['mean'])
     t_bn_mean = tnet.backbone.bn1.running_mean.detach().numpy()
     np.testing.assert_allclose(bn_mean, t_bn_mean, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mean Teacher: the fused step composes noised double forward + CE +
+# consistency MSE + rampup + SGD + EMA teacher update (ssl_mt.py:115-191;
+# reference pixelssl/ssl_algorithm/ssl_mt.py:120-196,359-363). Round-2
+# verdict item #2: extend composed parity beyond SupOnly.
+# ---------------------------------------------------------------------------
+
+CONS_SCALE = 5.0
+EMA_DECAY = 0.99
+NOISE_STD = 0.1
+ITERS_PER_EPOCH = 10
+
+
+def _sigmoid_rampup(cur, total):
+    cur = float(np.clip(cur, 0.0, total))
+    phase = 1.0 - cur / total
+    return float(np.exp(-5.0 * phase * phase))
+
+
+def _mt_noised_inputs(images, n_steps):
+    """Reproduce, on the host, the exact noised student/teacher inputs the
+    fused step derives from its per-step folded RNG (ssl_base._step_rng:
+    fold(rng0, step*131) then fold(axis_index=0 on the 1-device mesh),
+    then gaussian_noise with split keys — ssl_mt.py:120-124)."""
+    import jax.numpy as jnp
+    from pixelssl_tpu.nn.module import gaussian_noise
+
+    rng0 = jax.random.PRNGKey(0)  # harness default seed
+    x = jnp.asarray(images)
+    out = []
+    for s in range(n_steps):
+        rng = jax.random.fold_in(jax.random.fold_in(rng0, s * 131), 0)
+        k_s, k_t = jax.random.split(rng)
+        out.append((np.asarray(gaussian_noise(k_s, x, NOISE_STD)),
+                    np.asarray(gaussian_noise(k_t, x, NOISE_STD))))
+    return out
+
+
+def _torch_mt_train(tnet_s, tnet_t, noised, labels, lbs):
+    """N_STEPS of the reference MT recipe; returns per-step
+    (s_task_loss, cons_loss, t_task_loss)."""
+    tnet_s.train()
+    tnet_t.train()
+    for p in tnet_t.parameters():
+        p.requires_grad_(False)
+    opt = torch.optim.SGD(
+        [{'params': tnet_s.backbone.parameters(), 'lr': LR},
+         {'params': tnet_s.classifier.parameters(), 'lr': LR * 10.0}],
+        lr=LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda it: (1.0 - it / MAX_ITERS) ** POWER)
+    yt = torch.from_numpy(labels).long()
+
+    def _ce(logits, y):
+        per_pix = torch.nn.functional.cross_entropy(
+            logits, y, ignore_index=255, reduction='none')
+        return per_pix.mean(dim=(1, 2)).mean()
+
+    rows = []
+    for s, (s_img, t_img) in enumerate(noised):
+        xs = torch.from_numpy(s_img).permute(0, 3, 1, 2)
+        xt = torch.from_numpy(t_img).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            t_logits = tnet_t(xt)
+        opt.zero_grad()
+        s_logits = tnet_s(xs)
+        task_loss = _ce(s_logits[:lbs], yt[:lbs])
+        # consistency on raw preds, full batch (cons_for_labeled=True)
+        cons_mse = ((s_logits - t_logits) ** 2).mean(dim=(1, 2, 3)).mean()
+        rampup = _sigmoid_rampup(s, float(ITERS_PER_EPOCH))
+        cons_loss = rampup * CONS_SCALE * cons_mse
+        (task_loss + cons_loss).backward()
+        opt.step()
+        sched.step()
+        with torch.no_grad():
+            t_task_loss = _ce(t_logits[:lbs], yt[:lbs])
+            # EMA with decay min(1-1/(step+1), ema_decay), AFTER the
+            # optimizer step (reference ssl_mt.py:196,359-363)
+            decay = min(1.0 - 1.0 / (s + 1.0), EMA_DECAY)
+            for tp, sp in zip(tnet_t.parameters(), tnet_s.parameters()):
+                tp.mul_(decay).add_(sp, alpha=1.0 - decay)
+        rows.append((float(task_loss.detach()), float(cons_loss.detach()),
+                     float(t_task_loss)))
+    return rows
+
+
+def test_mt_trainstep_matches_torch():
+    import copy
+
+    from pixelssl_tpu import harness, parallel
+    from pixelssl_tpu.models.convert import convert_deeplab_v2
+
+    torch.manual_seed(1)
+    tnet_s = _TorchDeepLab()
+    for m in tnet_s.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    tnet_t = copy.deepcopy(tnet_s)
+
+    lbs = 2
+    rng = np.random.default_rng(7)
+    images = rng.standard_normal((BATCH, IM, IM, 3)).astype(np.float32)
+    labels = rng.integers(0, NUM_CLASSES, (BATCH, IM, IM)).astype(np.int32)
+    labels[:, :4, :4] = 255
+
+    args = harness.default_args(
+        'ssl_mt', backbone='resnet10', im_size=IM, num_classes=NUM_CLASSES,
+        batch_size=lbs, unlabeled_batch_size=BATCH - lbs,
+        ignore_unlabeled=False, bf16=False,
+        lr=LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY, power=POWER,
+        epochs=2, cons_for_labeled=True, cons_scale=CONS_SCALE,
+        cons_rampup_epochs=1, ema_decay=EMA_DECAY,
+        gaussian_noise_std=NOISE_STD)
+    mesh = parallel.make_mesh(1)
+    algo = harness.build_algorithm(args, mesh=mesh,
+                                   iters_per_epoch=ITERS_PER_EPOCH)
+
+    torch_state = {k: v.detach().numpy() for k, v in
+                   tnet_s.state_dict().items()}
+    model_vars = {'params': algo.state['model']['params']['net'],
+                  'batch_stats': algo.state['model']['batch_stats']['net']}
+    converted = convert_deeplab_v2(torch_state, model_vars)
+    state = jax.device_get(algo.state)
+    state['model']['params']['net'] = converted['params']
+    state['model']['batch_stats']['net'] = converted['batch_stats']
+    # the teacher starts as an exact copy of the student (reference
+    # ssl_mt.py:95-103; _build_state copies the FRESH init, so the
+    # converted weights must be mirrored into it too)
+    state['teacher']['params']['net'] = jax.tree.map(
+        np.copy, converted['params'])
+    state['teacher']['batch_stats']['net'] = jax.tree.map(
+        np.copy, converted['batch_stats'])
+    state = jax.device_put(state, parallel.replicate_sharding(mesh))
+
+    batch = parallel.shard_batch({'inp': (images,), 'gt': (labels,)}, mesh)
+    jax_rows = []
+    for _ in range(N_STEPS):
+        state, metrics = algo._train_step(state, batch)
+        jax_rows.append((float(np.asarray(metrics['s_task_loss'])),
+                         float(np.asarray(metrics['cons_loss'])),
+                         float(np.asarray(metrics['t_task_loss']))))
+
+    noised = _mt_noised_inputs(images, N_STEPS)
+    torch_rows = _torch_mt_train(tnet_s, tnet_t, noised, labels, lbs)
+
+    jax_rows = np.asarray(jax_rows)
+    torch_rows = np.asarray(torch_rows)
+    # task/teacher CE track to fp32 reduction noise; cons_loss is a tiny
+    # MSE (logit scale ~1e-2 at init) so compare with an absolute floor
+    np.testing.assert_allclose(jax_rows[:, 0], torch_rows[:, 0], rtol=2e-3)
+    np.testing.assert_allclose(jax_rows[:, 2], torch_rows[:, 2], rtol=2e-3)
+    np.testing.assert_allclose(jax_rows[:, 1], torch_rows[:, 1],
+                               rtol=5e-3, atol=1e-6)
+    assert (jax_rows[:, 1] > 0).all()
+
+    # terminal STUDENT params (SGD chain) and TEACHER params (EMA chain)
+    final = jax.device_get(state)
+    stem = np.asarray(final['model']['params']['net']
+                      ['backbone_net']['conv1']['kernel'])
+    t_stem = tnet_s.backbone.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(stem, t_stem, atol=3e-4)
+    ema_stem = np.asarray(final['teacher']['params']['net']
+                          ['backbone_net']['conv1']['kernel'])
+    t_ema_stem = (tnet_t.backbone.conv1.weight.detach().numpy()
+                  .transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(ema_stem, t_ema_stem, atol=3e-4)
+
+    # BOTH models' BN running stats updated from their own noised passes
+    for key, twin in (('model', tnet_s), ('teacher', tnet_t)):
+        bn_mean = np.asarray(final[key]['batch_stats']['net']
+                             ['backbone_net']['bn1']['mean'])
+        t_bn_mean = twin.backbone.bn1.running_mean.detach().numpy()
+        np.testing.assert_allclose(bn_mean, t_bn_mean, atol=1e-4)
