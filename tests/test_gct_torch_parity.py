@@ -31,11 +31,14 @@ MOMENTUM = 0.9
 WEIGHT_DECAY = 5e-4
 POWER = 0.9
 NUM_CLASSES = 5
-# 64, not 32: the flaw detector downsamples by 32x, and a 1-pixel
-# pre-upsample flawmap is spatially constant -> min-max normalizes to all
-# zeros -> every DCGT/fc mask degenerates (same reason the driver gate
-# runs GCT at im_size 64)
-IM = 64
+# 96, not 64: the flaw detector's conv chain (five stride-2 + three
+# shrink-by-1 stride-1 4x4 convs) collapses a 64px input to a 1x1
+# pre-upsample map — spatially CONSTANT flawmaps whose min-max
+# normalization amplifies last-ulp fp noise into O(1) mask differences
+# between frameworks (measured: handler output 0.97 vs 0.0 on a map with
+# 3e-8 spatial range). 96px gives a 2x2 map with real structure, so the
+# threshold masks are well-conditioned on both sides.
+IM = 96
 BATCH = 4
 LBS = 2
 ITERS_PER_EPOCH = 10
@@ -295,7 +298,7 @@ def test_gct_trainstep_matches_torch():
 
     args = harness.default_args(
         'ssl_gct', backbone='resnet10', im_size=IM, num_classes=NUM_CLASSES,
-        batch_size=LBS, unlabeled_batch_size=BATCH - LBS,
+        batch_size=BATCH, unlabeled_batch_size=BATCH - LBS,
         ignore_unlabeled=False, bf16=False,
         lr=LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY, power=POWER,
         epochs=2, ssl_mode='gct', fc_ssl_scale=FC_SCALE,

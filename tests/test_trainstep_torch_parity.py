@@ -258,7 +258,7 @@ def test_mt_trainstep_matches_torch():
 
     args = harness.default_args(
         'ssl_mt', backbone='resnet10', im_size=IM, num_classes=NUM_CLASSES,
-        batch_size=lbs, unlabeled_batch_size=BATCH - lbs,
+        batch_size=BATCH, unlabeled_batch_size=BATCH - lbs,
         ignore_unlabeled=False, bf16=False,
         lr=LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY, power=POWER,
         epochs=2, cons_for_labeled=True, cons_scale=CONS_SCALE,
