@@ -43,8 +43,8 @@ def test_ssl_null_step():
 def test_ssl_mt_step():
     algo, state, metrics = _run_steps(
         'ssl_mt', cons_scale=1.0, cons_rampup_epochs=1,
-        ema_decay=0.99, gaussian_noise_std=0.1)
-    assert metrics['cons_loss'] >= 0
+        ema_decay=0.99, gaussian_noise_std=0.1,
+        positive=('s_task_loss', 't_task_loss', 'cons_loss'))
 
 
 def test_ssl_cutmix_step():
@@ -53,8 +53,8 @@ def test_ssl_cutmix_step():
     algo, state, metrics = _run_steps(
         'ssl_cutmix', batch_size=4 * n, unlabeled_batch_size=2 * n,
         cons_scale=1.0, cons_rampup_epochs=1, cons_threshold=0.1,
-        ema_decay=0.99)
-    assert metrics['cons_loss'] >= 0
+        ema_decay=0.99,
+        positive=('task_loss', 'cons_loss'))
     # teacher params differ from student after EMA warm steps
     s = jax.tree.leaves(state['model']['params'])[0]
     t = jax.tree.leaves(state['teacher']['params'])[0]
@@ -85,12 +85,16 @@ def test_dryrun_multichip_entry():
 
 def test_ssl_adv_step():
     _run_steps('ssl_adv', adv_for_labeled=True, labeled_adv_scale=0.01,
-               unlabeled_adv_scale=0.001, unlabeled_for_discriminator=True)
+               unlabeled_adv_scale=0.001, unlabeled_for_discriminator=True,
+               positive=('task_loss', 'labeled_adv_loss',
+                         'unlabeled_adv_loss', 'fake_d_loss', 'real_d_loss'))
 
 
 def test_ssl_s4l_step():
     algo, state, metrics = _run_steps(
-        'ssl_s4l', rotated_sup_scale=0.5, rotation_scale=1.0)
+        'ssl_s4l', rotated_sup_scale=0.5, rotation_scale=1.0,
+        positive=('unrotated_task_loss', 'rotated_task_loss',
+                  'rotation_loss'))
     assert 0.0 <= metrics['rotation_acc'] <= 100.0
 
 
@@ -126,17 +130,16 @@ def test_ssl_gct_step():
     algo, state, metrics = _run_steps(
         'ssl_gct', im_size=64, ssl_mode='gct', fc_ssl_scale=1.0,
         dc_ssl_scale=1.0, dc_threshold=0.4, dc_rampup_epochs=1,
-        mu=0.5, nu=1, fd_scale=1.0)
-    for k in ('l_task_loss', 'r_task_loss', 'l_fd_loss', 'r_fd_loss'):
-        assert k in metrics
+        mu=0.5, nu=1, fd_scale=1.0,
+        positive=('l_task_loss', 'r_task_loss', 'l_fd_loss', 'r_fd_loss'))
 
 
 def test_ssl_cct_step():
     algo, state, metrics = _run_steps(
         'ssl_cct', im_size=64, cons_scale=1.0, cons_rampup_epochs=1,
         ad_lr_scale=10.0, vat_dec_num=1, drop_dec_num=1, cut_dec_num=1,
-        context_dec_num=1, object_dec_num=1, fd_dec_num=1, fn_dec_num=1)
-    assert metrics['cons_loss'] >= 0
+        context_dec_num=1, object_dec_num=1, fd_dec_num=1, fn_dec_num=1,
+        positive=('task_loss', 'cons_loss'))
 
 
 def test_multi_step_dispatch_matches_single_step():
@@ -213,3 +216,68 @@ def test_ssl_gct_two_model_dict():
     state, metrics = algo._train_step(algo.state, batch)
     for k in ('l_task_loss', 'r_task_loss', 'l_fd_loss', 'r_fd_loss'):
         assert np.isfinite(float(np.asarray(metrics[k])))
+
+
+# ---------------------------------------------------------------------------
+# SSL term efficacy: for every algorithm, one train step with the SSL
+# scales ON must move the task-model parameters differently than the same
+# step with the scales zeroed — i.e. the SSL gradient actually reaches the
+# weights (round-2 verdict item #3: a regression that silently detaches or
+# zeroes an SSL term must fail, not just keep losses finite).
+# ---------------------------------------------------------------------------
+
+_SSL_AB = [
+    # (algo, common flags, on flags, off flags, task-model state key)
+    ('ssl_mt',
+     dict(cons_rampup_epochs=0, ema_decay=0.99, gaussian_noise_std=0.1),
+     dict(cons_scale=1.0), dict(cons_scale=0.0), 'model'),
+    ('ssl_adv',
+     dict(adv_for_labeled=True, unlabeled_for_discriminator=True),
+     dict(labeled_adv_scale=0.05, unlabeled_adv_scale=0.05),
+     dict(labeled_adv_scale=0.0, unlabeled_adv_scale=0.0), 'model'),
+    ('ssl_s4l',
+     dict(),
+     dict(rotated_sup_scale=0.5, rotation_scale=1.0),
+     dict(rotated_sup_scale=0.0, rotation_scale=0.0), 'model'),
+    ('ssl_cutmix',
+     dict(cons_rampup_epochs=0, cons_threshold=0.05, ema_decay=0.99),
+     dict(cons_scale=1.0), dict(cons_scale=0.0), 'model'),
+    # im 96: below that the flaw detector collapses to a 1x1 pre-upsample
+    # map and the fc/dc constraints are structurally zero (see
+    # test_gct_torch_parity.py header)
+    ('ssl_gct',
+     dict(im_size=96, ssl_mode='gct', dc_threshold=0.5, dc_rampup_epochs=0,
+          mu=0.5, nu=1, fd_scale=1.0),
+     dict(fc_ssl_scale=1.0, dc_ssl_scale=1.0),
+     dict(fc_ssl_scale=0.0, dc_ssl_scale=0.0), 'l_model'),
+    ('ssl_cct',
+     dict(im_size=64, cons_rampup_epochs=0, ad_lr_scale=10.0,
+          drop_dec_num=1, fn_dec_num=1),
+     dict(cons_scale=1.0), dict(cons_scale=0.0), 'model'),
+]
+
+
+def _one_step_params(algo_name, key, **flags):
+    base = dict(backbone='resnet10', im_size=32, num_classes=5,
+                batch_size=4, unlabeled_batch_size=2,
+                ignore_unlabeled=False, lr=0.01, momentum=0.9, epochs=1,
+                seed=0)
+    base.update(flags)
+    args = harness.default_args(algo_name, **base)
+    mesh = parallel.make_mesh(1)  # efficacy, not sharding — keep it cheap
+    algo = harness.build_algorithm(args, mesh=mesh)
+    batch = harness.synthetic_batch(args, mesh, seed=0)
+    state, _ = algo._train_step(algo.state, batch)
+    return np.asarray(jax.tree.leaves(
+        jax.device_get(state[key]['params']))[0])
+
+
+@pytest.mark.parametrize(
+    'algo_name,common,on,off,key', _SSL_AB,
+    ids=[row[0] for row in _SSL_AB])
+def test_ssl_term_moves_task_params(algo_name, common, on, off, key):
+    p_on = _one_step_params(algo_name, key, **dict(common, **on))
+    p_off = _one_step_params(algo_name, key, **dict(common, **off))
+    assert not np.allclose(p_on, p_off), (
+        '%s: zeroing the SSL scales did not change the task-model update '
+        '-> the SSL gradient never reached the weights' % algo_name)
