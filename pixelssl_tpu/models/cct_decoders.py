@@ -79,40 +79,59 @@ def _foreground_mask(main_pred):
     return masks.astype(jnp.float32)[..., None]
 
 
-def guided_cutout_mask(main_pred, rng, erase, resize):
-    """Erase a random box inside the foreground bounding box per sample.
+def guided_cutout_mask(main_pred, rng, erase, resize, n_components=2):
+    """Erase a random box inside each large foreground object's bbox.
 
-    Device-friendly stand-in for the reference's per-contour cv2 version
-    (ssl_cct.py:623-646): one bounding box per sample from mask extents.
-    Measured deviation (tests/test_cct_cutout_parity.py): single-object
-    masks match the reference's mean erase area within 15%; multi-object
-    masks erase ~3x more (union bbox vs per-contour bboxes) — same
-    augmentation family, stronger cutout.
+    Device-native version of the reference's per-contour cv2 cutout
+    (ssl_cct.py:623-646): connected components come from segmented-scan
+    label propagation (ops/components.py), the ``n_components`` largest
+    ones each get an independent random (bb*erase)-sized erase box inside
+    their bbox, and components with area <= 50 are skipped (the
+    reference's contour-size>50 analog). Exact reference semantics for
+    images with <= n_components objects; further objects are left
+    unerased (the old union-bbox stand-in erased ~3x too much on
+    multi-object masks — tests/test_cct_cutout_parity.py quantifies
+    both). ``n_components=0`` selects that legacy union-bbox variant.
     """
-    masks = _foreground_mask(main_pred)[..., 0]  # [B,H,W]
+    masks = _foreground_mask(main_pred)[..., 0] > 0  # [B,H,W] bool
     b, h, w = masks.shape
     rows = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1)
     cols = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2)
     big = jnp.asarray(1e9, jnp.float32)
-    any_fg = jnp.sum(masks, axis=(1, 2)) > 50  # contour size>50 analog
-    min_h = jnp.min(jnp.where(masks > 0, rows, big), axis=(1, 2))
-    max_h = jnp.max(jnp.where(masks > 0, rows, -big), axis=(1, 2))
-    min_w = jnp.min(jnp.where(masks > 0, cols, big), axis=(1, 2))
-    max_w = jnp.max(jnp.where(masks > 0, cols, -big), axis=(1, 2))
+
+    if n_components and n_components > 0:
+        from ..ops.components import label_components, top_k_components
+        labels = label_components(masks)
+        comp, _ = top_k_components(labels, n_components, min_size=50)
+    else:
+        any_fg = jnp.sum(masks, axis=(1, 2)) > 50
+        comp = (masks & any_fg[:, None, None])[:, None, :, :]
+
+    k = comp.shape[1]
+    rows_k, cols_k = rows[:, None], cols[:, None]  # [B,1,H,W]
+    min_h = jnp.min(jnp.where(comp, rows_k, big), axis=(2, 3))   # [B,k]
+    max_h = jnp.max(jnp.where(comp, rows_k, -big), axis=(2, 3))
+    min_w = jnp.min(jnp.where(comp, cols_k, big), axis=(2, 3))
+    max_w = jnp.max(jnp.where(comp, cols_k, -big), axis=(2, 3))
     bb_h = jnp.maximum(max_h - min_h, 0.0)
     bb_w = jnp.maximum(max_w - min_w, 0.0)
 
     k1, k2 = jax.random.split(rng)
-    u_h = jax.random.uniform(k1, (b,))
-    u_w = jax.random.uniform(k2, (b,))
-    start_h = min_h + jnp.floor(u_h * (bb_h * (1 - erase) + 1.0))
-    start_w = min_w + jnp.floor(u_w * (bb_w * (1 - erase) + 1.0))
+    u_h = jax.random.uniform(k1, (b, k))
+    u_w = jax.random.uniform(k2, (b, k))
+    # randint(0, int(bb*(1-erase))) inclusive == floor(u * (that+1))
+    start_h = min_h + jnp.floor(u_h * (jnp.floor(bb_h * (1 - erase)) + 1.0))
+    start_w = min_w + jnp.floor(u_w * (jnp.floor(bb_w * (1 - erase)) + 1.0))
     end_h = start_h + jnp.floor(bb_h * erase)
     end_w = start_w + jnp.floor(bb_w * erase)
 
-    inside = ((rows >= start_h[:, None, None]) & (rows < end_h[:, None, None]) &
-              (cols >= start_w[:, None, None]) & (cols < end_w[:, None, None]))
-    mask_ones = jnp.where(inside & any_fg[:, None, None], 0.0, 1.0)
+    present = jnp.any(comp, axis=(2, 3))  # [B,k]
+    inside = ((rows_k >= start_h[:, :, None, None]) &
+              (rows_k < end_h[:, :, None, None]) &
+              (cols_k >= start_w[:, :, None, None]) &
+              (cols_k < end_w[:, :, None, None]) &
+              present[:, :, None, None])
+    mask_ones = jnp.where(jnp.any(inside, axis=1), 0.0, 1.0)
     return resize_nearest(mask_ones[..., None], resize)
 
 

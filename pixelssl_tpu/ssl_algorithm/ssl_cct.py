@@ -62,6 +62,11 @@ def add_parser_arguments(parser):
     parser.add_argument('--drop-dec-spatial', type=cmd.str2bool, default=True)
     parser.add_argument('--cut-dec-num', type=int, default=0)
     parser.add_argument('--cut-dec-erase', type=float, default=0.4)
+    parser.add_argument('--cut-dec-components', type=int, default=2,
+                        help='sslcct - erase one box per top-N foreground '
+                             'component (reference per-contour semantics, '
+                             'ssl_cct.py:623-646); 0 = one union-bbox box '
+                             '(cheaper, ~3x stronger on multi-object masks)')
     parser.add_argument('--context-dec-num', type=int, default=0)
     parser.add_argument('--object-dec-num', type=int, default=0)
     parser.add_argument('--fn-dec-num', type=int, default=0)
@@ -90,7 +95,8 @@ class SSLCCT(SSLBase):
             [('vat', {'xi': args.vat_dec_xi, 'eps': args.vat_dec_eps})] * args.vat_dec_num +
             [('drop', {'rate': args.drop_dec_rate,
                        'spatial': args.drop_dec_spatial})] * args.drop_dec_num +
-            [('cut', {'erase': args.cut_dec_erase})] * args.cut_dec_num +
+            [('cut', {'erase': args.cut_dec_erase,
+                      'components': args.cut_dec_components})] * args.cut_dec_num +
             [('context', {})] * args.context_dec_num +
             [('object', {})] * args.object_dec_num +
             [('fdrop', {})] * args.fd_dec_num +
@@ -167,7 +173,8 @@ class SSLCCT(SSLBase):
             return dec_apply(element_dropout(latent, rng, cfg['rate']))
         if family == 'cut':
             mask = guided_cutout_mask(main_pred, rng, cfg['erase'],
-                                      latent.shape[1:3])
+                                      latent.shape[1:3],
+                                      n_components=cfg['components'])
             return dec_apply(latent * mask.astype(latent.dtype))
         if family == 'context':
             return dec_apply(guided_masking(latent, main_pred, True))
