@@ -15,26 +15,41 @@ Reported as samples/s/chip (total per-chip samples; the labeled:unlabeled
 ratio matches the reference config) so the value is comparable across
 batch points — round 1 recorded 61.03 steps/s at b4+2 = 244 samples/s.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). The
-``vs_baseline`` denominator is an ESTIMATED PyTorch DataParallel Mean-
-Teacher rate for DeepLab-v2/ResNet-101 @321 on one V100-class GPU
-(~1.3 steps/s: double forward + backward + Python-loop EMA + per-forward
-scatter/gather), counted in the SAME unit as ``value`` — total samples/s,
-i.e. 1.3 steps/s x 4 samples per step at the reference's b4+2 config
-= ~5.2 samples/s (both sides count total samples at the same
-labeled:unlabeled ratio, so the ratio is accounting-invariant). Revisit
-when a measured torch-GPU number exists.
+Baseline: the reference publishes no throughput numbers (BASELINE.md) and
+requires CUDA GPUs this environment lacks, so ``vs_baseline`` divides by a
+MEASURED reference-faithful torch Mean-Teacher rate on the hardware we do
+have: ``tools/torch_mt_bench.py`` reruns the reference's exact iteration
+(double noised forward, CE + consistency MSE, SGD, Python-loop EMA) on
+the real DeepLab-v2/R101 at 321px and records total samples/s to
+``tools/torch_mt_cpu.json`` (committed). The ratio therefore compares a
+TPU chip against the reference implementation on this host's CPU —
+cross-hardware by necessity, clearly labeled via ``baseline_*`` fields.
+The round-2 ESTIMATED single-V100 denominator (~1.3 steps/s x 4 = 5.2
+samples/s) is retained as the informational ``vs_estimated_v100``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import time
 
-# estimated torch DataParallel MT rate, total samples/s (1.3 steps/s x 4
-# samples per step at the reference's b4+2) — same total-samples
-# accounting as `value` below
-BASELINE_SAMPLES_PER_SEC = 1.3 * 4.0
+# estimated torch DataParallel MT rate on one V100, total samples/s
+# (1.3 steps/s x 4 samples at the reference's b4+2) — informational only
+ESTIMATED_V100_SAMPLES_PER_SEC = 1.3 * 4.0
+
+
+def _measured_torch_baseline():
+    """Measured reference-torch MT rate (tools/torch_mt_bench.py output);
+    None when the measurement file is absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'tools', 'torch_mt_cpu.json')
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return float(rec['samples_per_sec']), rec
+    except Exception:
+        return None, None
 SCAN_STEPS = 32
 BATCH_PER_CHIP = 8          # total per chip; production point, BASELINE.md
 UNLABELED_PER_CHIP = 4
@@ -99,13 +114,26 @@ def main():
     total_steps = n_calls * (SCAN_STEPS + 1)
     steps_per_sec_per_chip = total_steps / dt / n_dev
     samples_per_sec_per_chip = steps_per_sec_per_chip * BATCH_PER_CHIP
-    print(json.dumps({
+
+    record = {
         'metric': 'ssl_mt_deeplabv2_r101_321_b8+4_train_samples_per_sec_per_chip',
         'value': round(samples_per_sec_per_chip, 2),
         'unit': 'samples/s/chip',
-        'vs_baseline': round(samples_per_sec_per_chip / BASELINE_SAMPLES_PER_SEC,
-                             3),
-    }))
+        'vs_estimated_v100': round(
+            samples_per_sec_per_chip / ESTIMATED_V100_SAMPLES_PER_SEC, 3),
+    }
+    measured, meta = _measured_torch_baseline()
+    if measured:
+        record['vs_baseline'] = round(samples_per_sec_per_chip / measured, 3)
+        record['baseline_metric'] = meta['metric']
+        record['baseline_samples_per_sec'] = measured
+        record['baseline_device'] = meta['device']
+    else:
+        # no measured torch rate on this machine — fall back to the
+        # labeled estimate rather than inventing a number
+        record['vs_baseline'] = record['vs_estimated_v100']
+        record['baseline_device'] = 'estimated single V100 (no measurement)'
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

@@ -56,10 +56,12 @@ class _Bottleneck(tnn.Module):
 
 
 class _Backbone(tnn.Module):
-    """resnet10-depth twin of the reference dilated ResNet
-    (task/sseg/module/backbone/resnet.py), multi-grid [1,2,4] layer4."""
+    """Twin of the reference dilated ResNet
+    (task/sseg/module/backbone/resnet.py), multi-grid [1,2,4] layer4.
+    ``layers`` = block counts for layer1-3: (1,1,1) is the CPU-fast
+    resnet10 twin, (3,4,23) the REAL ResNet-101."""
 
-    def __init__(self, output_stride=16):
+    def __init__(self, output_stride=16, layers=(1, 1, 1)):
         super().__init__()
         if output_stride == 16:
             strides, dils = (1, 2, 2, 1), (1, 1, 1, 2)
@@ -69,9 +71,16 @@ class _Backbone(tnn.Module):
         self.bn1 = tnn.BatchNorm2d(64)
         self.relu = tnn.ReLU()
         self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
-        self.layer1 = tnn.Sequential(_Bottleneck(64, 64, strides[0], dils[0], True))
-        self.layer2 = tnn.Sequential(_Bottleneck(256, 128, strides[1], dils[1], True))
-        self.layer3 = tnn.Sequential(_Bottleneck(512, 256, strides[2], dils[2], True))
+
+        def stage(inplanes, planes, n, stride, dil):
+            blocks = [_Bottleneck(inplanes, planes, stride, dil, True)]
+            blocks += [_Bottleneck(planes * 4, planes, 1, dil, False)
+                       for _ in range(n - 1)]
+            return tnn.Sequential(*blocks)
+
+        self.layer1 = stage(64, 64, layers[0], strides[0], dils[0])
+        self.layer2 = stage(256, 128, layers[1], strides[1], dils[1])
+        self.layer3 = stage(512, 256, layers[2], strides[2], dils[2])
         self.layer4 = tnn.Sequential(
             _Bottleneck(1024, 512, strides[3], 1 * dils[3], True),
             _Bottleneck(2048, 512, 1, 2 * dils[3], False),
@@ -85,9 +94,9 @@ class _Backbone(tnn.Module):
 class _TorchDeepLabV2(tnn.Module):
     """Twin of the reference DeepLabV2 (deeplab_v2.py:13-85)."""
 
-    def __init__(self, num_classes):
+    def __init__(self, num_classes, layers=(1, 1, 1)):
         super().__init__()
-        self.backbone = _Backbone(output_stride=16)
+        self.backbone = _Backbone(output_stride=16, layers=layers)
         self.classifier = tnn.Module()
         self.classifier.conv2d_list = tnn.ModuleList([
             tnn.Conv2d(2048, num_classes, 3, padding=d, dilation=d, bias=True)
@@ -116,9 +125,9 @@ class _TorchPixelShuffle(tnn.Module):
 class _TorchPSPNet(tnn.Module):
     """Twin of the reference _PSPNet (_pspnet.py:57-142)."""
 
-    def __init__(self, num_classes):
+    def __init__(self, num_classes, layers=(1, 1, 1)):
         super().__init__()
-        self.backbone = _Backbone(output_stride=8)
+        self.backbone = _Backbone(output_stride=8, layers=layers)
         self.psp = tnn.Module()
         in_ch, bins = 2048, (1, 2, 3, 6)
         out_ch = in_ch // len(bins)
