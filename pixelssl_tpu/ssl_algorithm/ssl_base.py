@@ -193,6 +193,28 @@ class SSLBase(object):
         with open(out, 'a') as f:
             f.write(json.dumps(record) + '\n')
 
+    def log_epoch_summary(self, epoch, wall_s, n_iters):
+        """Per-epoch throughput summary: achieved samples/s through the
+        WHOLE loop (host loader -> device_put -> fused steps), the number
+        capacity planning needs next to bench.py's device-only ceiling.
+        The reference never reports throughput (its logs are per-iter
+        losses only, e.g. ssl_null.py:160-190); tools/e2e_tpu_bench.py
+        parses the jsonl record this emits."""
+        n_chips = max(1, int(self.ctx.mesh.devices.size))
+        total_bs = int(self.args.batch_size)  # labeled+unlabeled, global
+        sps = n_iters * total_bs / max(wall_s, 1e-9)
+        logger.log_info(
+            'epoch {0:>3} done: {1} iters in {2:.1f}s — {3:.1f} samples/s '
+            '({4:.1f}/chip x {5} chips), avg step {6:.3f}s'.format(
+                epoch, n_iters, wall_s, sps, sps / n_chips, n_chips,
+                wall_s / max(1, n_iters)))
+        self._log_jsonl(dict(
+            phase='epoch_summary', epoch=epoch, algorithm=self.NAME,
+            wall_s=round(wall_s, 3), iters=n_iters,
+            samples_per_sec=round(sps, 2),
+            samples_per_sec_per_chip=round(sps / n_chips, 2),
+            n_chips=n_chips))
+
     # ------------------------------------------------------------------
     # host loops (structure mirrors reference ssl_null.py:123-192)
     # ------------------------------------------------------------------
@@ -373,6 +395,13 @@ class SSLBase(object):
             path = os.path.join(self.args.checkpoint_path,
                                 'checkpoint_{0}'.format(epoch))
         path = os.path.abspath(path)
+        # overwrite semantics like the reference's torch.save (its
+        # ssl_null.py:194-204 re-saves checkpoint_N on a re-run): orbax
+        # refuses to write into an existing directory, so clear a stale
+        # one first (primary host only; orbax barriers before writing)
+        if jax.process_index() == 0 and os.path.isdir(path):
+            import shutil
+            shutil.rmtree(path)
         # multi-host: EVERY process must call save — orbax synchronizes
         # processes internally (barriers) and only the primary host writes
         # the replicated host-numpy data; gating non-zero processes out

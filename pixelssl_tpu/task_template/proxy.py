@@ -22,6 +22,7 @@ frequencies. TPU-first changes:
 import copy
 import functools
 import os
+import time
 
 import jax
 import numpy as np
@@ -213,7 +214,10 @@ class TaskProxy(object):
             return
 
         for epoch in range(start_epoch, args.epochs):
+            t0 = time.time()
             self.ssl_algorithm.train(self.train_loader, epoch)
+            self.ssl_algorithm.log_epoch_summary(
+                epoch, time.time() - t0, len(self.train_loader))
             if self.val_loader is not None and (epoch + 1) % args.val_freq == 0:
                 self.ssl_algorithm.validate(self.val_loader, epoch)
             if (epoch + 1) % args.checkpoint_freq == 0:

@@ -1,0 +1,153 @@
+"""End-to-end TPU training throughput with the REAL input path.
+
+bench.py measures the device-only ceiling (synthetic batches resident on
+the chip, multi-step scan); tools/loader_bench.py measures the host
+loader alone. This tool closes the gap (round-2 verdict item #8): it
+writes a synthetic VOC-layout dataset to disk (real JPEG/PNG files),
+then runs the FULL production training path on the real TPU chip —
+two-stream sampler -> --native-augment C++ loader -> double-buffered
+device_put -> fused Mean-Teacher steps at --steps-per-dispatch — via the
+same `run_script` surface users drive (reference equivalent: the torch
+DataLoader + DataParallel loop, reference task/sseg/data.py:223-256 +
+pixelssl/ssl_algorithm/ssl_mt.py:105-196, which the reference never
+benchmarked).
+
+The proxy logs a per-epoch `epoch_summary` jsonl record
+(ssl_algorithm/ssl_base.log_epoch_summary); this tool aggregates the
+post-warmup epochs and prints ONE JSON line with achieved samples/s/chip
+next to bench.py's synthetic ceiling.
+
+Usage: python tools/e2e_tpu_bench.py [--epochs 6] [--warmup-epochs 1]
+       [--labeled 512] [--unlabeled-images 256] [--batch 8] [--unlabeled 4]
+       [--im 321] [--backbone resnet101] [--workers 4] [--dispatch 8]
+       [--keep-dir DIR]
+"""
+
+import argparse
+import collections
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)                    # loader_bench fixture reuse
+sys.path.insert(0, os.path.join(_HERE, '..'))
+
+from loader_bench import make_fixture  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--epochs', type=int, default=6)
+    p.add_argument('--warmup-epochs', type=int, default=1,
+                   help='leading epochs excluded from the aggregate '
+                        '(XLA compile + thread-pool spinup)')
+    p.add_argument('--labeled', type=int, default=512)
+    p.add_argument('--unlabeled-images', type=int, default=256)
+    p.add_argument('--batch', type=int, default=8,
+                   help='total per-chip batch (labeled+unlabeled)')
+    p.add_argument('--unlabeled', type=int, default=4)
+    p.add_argument('--im', type=int, default=321)
+    p.add_argument('--backbone', default='resnet101')
+    p.add_argument('--workers', type=int, default=4)
+    p.add_argument('--dispatch', type=int, default=8)
+    p.add_argument('--native', type=int, default=1)
+    p.add_argument('--keep-dir', default='')
+    opts = p.parse_args()
+
+    root = opts.keep_dir or tempfile.mkdtemp(prefix='e2e_tpu_bench_')
+    data_root = os.path.join(root, 'voc')
+    out_root = os.path.join(root, 'result')
+    try:
+        n_images = opts.labeled + opts.unlabeled_images
+        names = make_fixture(data_root, n_images)
+        sub_path = os.path.join(root, 'sublabeled.txt')
+        with open(sub_path, 'w') as f:
+            f.write('\n'.join(names[:opts.labeled]) + '\n')
+
+        import pixelssl_tpu as pixelssl
+        from pixelssl_tpu.tasks import sseg
+        from pixelssl_tpu.utils import env as _env
+        _env.enable_compile_cache(os.path.join(_HERE, '..', '.jax_cache'))
+
+        config = collections.OrderedDict([
+            ('exp_id', 'e2e_tpu_bench'),
+            ('ssl_algorithm', 'ssl_mt'),
+            ('resume', ''),
+            ('validation', False),
+            ('out_path', out_root),
+            ('visualize', False),
+            ('debug', False),
+            ('val_freq', 10000),          # throughput run: no val epochs
+            ('checkpoint_freq', 10000),
+            ('log_freq', 16),
+            ('trainset', {'pascal_voc_aug': [data_root]}),
+            ('valset', {'pascal_voc_aug': [data_root]}),
+            ('sublabeled_path', sub_path),
+            ('num_workers', opts.workers),
+            ('native_augment', bool(opts.native)),
+            ('steps_per_dispatch', opts.dispatch),
+            ('models', {'model': 'deeplabv2'}),
+            ('optimizers', {'model': 'sgd'}),
+            ('lrers', {'model': 'polynomiallr'}),
+            ('criterions', {'model': 'sseg_criterion'}),
+            ('lr', 0.00025),
+            ('momentum', 0.9),
+            ('weight_decay', 0.0005),
+            ('output_stride', 16),
+            ('backbone', opts.backbone),
+            ('im_size', opts.im),
+            ('train_base_size', 400),
+            ('val_rescaling', True),
+            ('epochs', opts.epochs),
+            ('batch_size', opts.batch),
+            ('unlabeled_batch_size', opts.unlabeled),
+            ('ignore_unlabeled', False),
+            # reference MT benchmark hyperparameters
+            # (script/deeplabv2_pascalvoc_1-8_sslmt.py)
+            ('cons_scale', 10.0),
+            ('cons_rampup_epochs', max(1, opts.epochs // 2)),
+            ('ema_decay', 0.999),
+            ('gaussian_noise_std', 0.1),
+        ])
+        pixelssl.run_script(config, sseg, sseg.SemanticSegmentationProxy)
+
+        # aggregate the proxy's per-epoch summaries
+        jsonl = None
+        for dirpath, _dirs, files in os.walk(out_root):
+            if 'metrics.jsonl' in files:
+                jsonl = os.path.join(dirpath, 'metrics.jsonl')
+        assert jsonl, 'no metrics.jsonl under %s' % out_root
+        epochs = []
+        with open(jsonl) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get('phase') == 'epoch_summary':
+                    epochs.append(rec)
+        assert len(epochs) == opts.epochs, (len(epochs), opts.epochs)
+        measured = epochs[opts.warmup_epochs:]
+        tot_iters = sum(r['iters'] for r in measured)
+        tot_wall = sum(r['wall_s'] for r in measured)
+        sps = tot_iters * opts.batch / tot_wall
+        print(json.dumps({
+            'metric': 'e2e_ssl_mt_deeplabv2_%s_%d_b%d+%d_real_input_path'
+                      % (opts.backbone, opts.im, opts.batch, opts.unlabeled),
+            'samples_per_sec_per_chip': round(sps, 1),
+            'epochs_measured': len(measured),
+            'iters': tot_iters,
+            'wall_s': round(tot_wall, 1),
+            'warmup_epoch_wall_s': round(
+                sum(r['wall_s'] for r in epochs[:opts.warmup_epochs]), 1),
+            'workers': opts.workers,
+            'native_augment': bool(opts.native),
+            'steps_per_dispatch': opts.dispatch,
+        }), flush=True)
+    finally:
+        if not opts.keep_dir:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == '__main__':
+    main()
