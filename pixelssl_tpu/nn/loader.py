@@ -34,15 +34,32 @@ def _stack_samples(samples):
 
 
 class DataLoader(object):
-    """Iterate (inp_tuple, gt_tuple) numpy batches from dataset + sampler."""
+    """Iterate (inp_tuple, gt_tuple) numpy batches from dataset + sampler.
+
+    With ``chunk_steps > 1`` the producer assembles whole multi-step
+    dispatch chunks instead: it loads ``chunk_steps`` consecutive step
+    batches in one pool pass, writes every sample straight into ONE
+    preallocated ``[n_steps, batch, ...]`` array per leaf, and calls
+    ``chunk_put_fn`` once — a single host→device transfer per dispatch.
+    The per-batch path (8 small stacks, 8 device_puts, plus an on-device
+    jnp.stack re-dispatch in the train loop) measured 2.4 s/dispatch on a
+    1-core TPU host against ~0.4 s for the same work assembled this way;
+    every eliminated call is a tunnel RPC or a redundant 105 MB copy.
+    In chunk mode the iterator yields ``('chunk', batch)`` for full
+    dispatch chunks and ``('single', batch)`` for the leftover tail
+    batches (and for any group with ragged batch sizes).
+    """
 
     def __init__(self, dataset, batch_sampler, num_workers=0,
-                 prefetch=2, device_put_fn=None):
+                 prefetch=2, device_put_fn=None,
+                 chunk_steps=1, chunk_put_fn=None):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.device_put_fn = device_put_fn
+        self.chunk_steps = max(1, chunk_steps)
+        self.chunk_put_fn = chunk_put_fn
 
     def __len__(self):
         return len(self.batch_sampler)
@@ -55,6 +72,35 @@ class DataLoader(object):
         batch = _stack_samples(samples)
         if self.device_put_fn is not None:
             batch = self.device_put_fn(batch)
+        return batch
+
+    def _load_chunk(self, idx_batches, pool):
+        """Load ``len(idx_batches)`` equal-size step batches into one
+        [n_steps, batch, ...] numpy array per leaf (no intermediate
+        per-batch stacks), then transfer once via chunk_put_fn."""
+        flat = [i for b in idx_batches for i in b]
+        if pool is not None:
+            samples = list(pool.map(self.dataset.__getitem__, flat))
+        else:
+            samples = [self.dataset[i] for i in flat]
+        n, bsz = len(idx_batches), len(idx_batches[0])
+        first_inp, first_gt = samples[0]
+        inp = tuple(np.empty((n, bsz) + a.shape, np.asarray(a).dtype)
+                    for a in first_inp)
+        gt = tuple(np.empty((n, bsz) + a.shape, np.asarray(a).dtype)
+                   for a in first_gt)
+        k = 0
+        for s in range(n):
+            for b in range(bsz):
+                si, sg = samples[k]
+                k += 1
+                for t, a in enumerate(si):
+                    inp[t][s, b] = a
+                for t, a in enumerate(sg):
+                    gt[t][s, b] = a
+        batch = (inp, gt)
+        if self.chunk_put_fn is not None:
+            batch = self.chunk_put_fn(batch)
         return batch
 
     def __iter__(self):
@@ -80,9 +126,30 @@ class DataLoader(object):
 
         def producer():
             try:
-                for idx_batch in self.batch_sampler:
-                    if not _put(self._load_batch(idx_batch, pool)):
-                        return
+                if self.chunk_steps > 1:
+                    pending = []
+                    for idx_batch in self.batch_sampler:
+                        pending.append(idx_batch)
+                        if len(pending) < self.chunk_steps:
+                            continue
+                        if all(len(b) == len(pending[0]) for b in pending):
+                            item = ('chunk', self._load_chunk(pending, pool))
+                            if not _put(item):
+                                return
+                        else:  # ragged batch sizes: step-batch fallback
+                            for ib in pending:
+                                if not _put(('single',
+                                             self._load_batch(ib, pool))):
+                                    return
+                        pending = []
+                    for idx_batch in pending:  # leftover tail (< one chunk)
+                        item = ('single', self._load_batch(idx_batch, pool))
+                        if not _put(item):
+                            return
+                else:
+                    for idx_batch in self.batch_sampler:
+                        if not _put(self._load_batch(idx_batch, pool)):
+                            return
             except BaseException as e:  # surfaced in consumer
                 error.append(e)
             finally:

@@ -80,6 +80,30 @@ def reorder_two_stream(arr, lbs, ubs, n_dev):
     return np.concatenate(chunks, axis=0)
 
 
+def reorder_two_stream_steps(arr, lbs, ubs, n_dev):
+    """``reorder_two_stream`` applied along axis 1 of a
+    ``[n_steps, global_batch, ...]`` multi-step dispatch chunk (the
+    chunked loader path, nn/loader.DataLoader chunk mode)."""
+    assert lbs % n_dev == 0 and ubs % n_dev == 0, (
+        'labeled/unlabeled batch sizes must divide the mesh size '
+        '(lbs={0}, ubs={1}, n_dev={2})'.format(lbs, ubs, n_dev))
+    lbs_l, ubs_l = lbs // n_dev, ubs // n_dev
+    labeled = arr[:, :lbs]
+    unlabeled = arr[:, lbs:lbs + ubs]
+    chunks = []
+    for d in range(n_dev):
+        chunks.append(labeled[:, d * lbs_l:(d + 1) * lbs_l])
+        chunks.append(unlabeled[:, d * ubs_l:(d + 1) * ubs_l])
+    return np.concatenate(chunks, axis=1)
+
+
+def shard_step_chunk(tree, mesh, axis_name=DATA_AXIS):
+    """Place a [n_steps, global_batch, ...] chunk: scan axis replicated,
+    batch axis sharded — one transfer per multi-step dispatch."""
+    sh = NamedSharding(mesh, P(None, axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
 def pmean_if_parallel(tree, axis_name):
     if axis_name is None:
         return tree

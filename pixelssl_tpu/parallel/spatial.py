@@ -102,6 +102,28 @@ def shard_train_batch(tree, mesh):
         tree)
 
 
+def chunk_train_leaf_sharding(mesh, leaf):
+    """``train_leaf_sharding`` for leaves carrying a leading [n_steps]
+    scan axis (chunked multi-step dispatch): the scan axis replicates,
+    batch shards on 'data', H on 'spatial'."""
+    if leaf.ndim >= 4:
+        spec = P(None, DATA_AXIS, SPATIAL_AXIS, *([None] * (leaf.ndim - 3)))
+    elif leaf.ndim >= 2:
+        spec = P(None, DATA_AXIS)
+    else:
+        spec = P()
+    return NamedSharding(mesh, spec)
+
+
+def shard_train_chunk(tree, mesh):
+    """shard_train_batch for a whole [n_steps, batch, ...] dispatch chunk
+    — one host→device transfer per multi-step dispatch."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            np.asarray(x), chunk_train_leaf_sharding(mesh, np.asarray(x))),
+        tree)
+
+
 def gspmd_train_step(step_fn, mesh, donate_state=True):
     """Jit ``step_fn(state, batch) -> (state, metrics)`` (written with
     ctx.axis_name=None) for the 2-D mesh. Inputs arrive committed

@@ -272,27 +272,49 @@ class SSLBase(object):
 
     def _train_multi(self, data_loader, epoch):
         """Multi-step dispatch path: lax.scan over --steps-per-dispatch
-        batches per device round-trip."""
+        batches per device round-trip. When the loader runs in chunk mode
+        (nn/loader.DataLoader chunk_steps > 1) the whole [n, batch, ...]
+        dispatch chunk arrives pre-assembled and already sharded — one
+        host→device transfer per dispatch; otherwise (multi-host) per-step
+        batches are accumulated and stacked on device as before."""
         self.meters.reset()
         args = self.args
         n = self._steps_per_dispatch
         n_batches = len(data_loader)
         prof = profiler.ProfileWindow(args, epoch)
+        chunked_loader = getattr(data_loader, 'chunk_steps', 1) > 1
+        visualizing = (getattr(args, 'visualize', False) and
+                       getattr(args, 'visual_train_path', ''))
         chunk = []
         done = 0
         dispatch_idx = 0
         t0 = time.time()
-        for batch in data_loader:
-            chunk.append(batch)
-            if len(chunk) < n:
-                continue
-            last_batch = chunk[-1]
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
+        for item in data_loader:
+            if chunked_loader:
+                tag, payload = item
+                if tag == 'single':  # leftover tail: single-step path
+                    self.state, metrics = self._train_step(
+                        self.state, payload)
+                    done += 1
+                    continue
+                stacked = payload
+                n_in_chunk = n
+                last_batch = None
+                if visualizing:
+                    # last step's batch, sliced on device (keeps shardings)
+                    last_batch = jax.tree.map(lambda x: x[-1], stacked)
+            else:
+                chunk.append(item)
+                if len(chunk) < n:
+                    continue
+                last_batch = chunk[-1]
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
+                n_in_chunk = len(chunk)
+                chunk = []
             prof.tick(dispatch_idx, self.state)
             dispatch_idx += 1
             self.state, metrics = self._multi_step(self.state, stacked)
-            done += len(chunk)
-            chunk = []
+            done += n_in_chunk
             if (getattr(args, 'visualize', False) and
                     getattr(args, 'visual_train_path', '') and
                     done % max(1, args.visual_freq) < n):

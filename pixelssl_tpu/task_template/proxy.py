@@ -367,9 +367,19 @@ class TaskProxy(object):
                         sampler, lbs, ubs,
                         parallel.multihost.local_device_positions(self.mesh),
                         n_dev)
+                # chunked multi-step assembly: one preallocated
+                # [n_steps, batch, ...] host array + ONE sharded
+                # device_put per dispatch (vs per-step puts + an
+                # on-device jnp.stack — each a tunnel/PCIe round-trip)
+                n_steps = max(
+                    1, getattr(args, 'steps_per_dispatch', 1) or 1)
+                chunk_put = (self._make_train_chunk_put_fn(lbs, ubs, n_dev)
+                             if n_steps > 1 else None)
                 self.train_loader = nnloader.DataLoader(
                     trainset, sampler, num_workers=args.num_workers,
-                    device_put_fn=self._make_train_put_fn(lbs, ubs, n_dev))
+                    device_put_fn=self._make_train_put_fn(lbs, ubs, n_dev),
+                    chunk_steps=n_steps if chunk_put is not None else 1,
+                    chunk_put_fn=chunk_put)
 
         # validation loader: mesh-sized batches, ignore-padded tail
         valset_num = sum(len(v) for v in args.valset.values())
@@ -431,6 +441,36 @@ class TaskProxy(object):
                 gt = tuple(parallel.reorder_two_stream(a, lbs, ubs, n_dev) for a in gt)
             batch = {'inp': inp, 'gt': gt}
             return parallel.shard_batch(batch, mesh)
+        return put
+
+    def _make_train_chunk_put_fn(self, lbs, ubs, n_dev):
+        """device_put for a whole [n_steps, batch, ...] dispatch chunk
+        (nn/loader.DataLoader chunk mode): the multi-step scan axis leads,
+        so sharding specs gain a leading None; the two-stream reorder
+        applies along axis 1. Returns None when chunked assembly is not
+        supported (multi-host: each process only holds its local rows,
+        parallel/multihost.put_local_batch) — the loader then falls back
+        to per-step puts and the train loop stacks on device."""
+        mesh = self.mesh
+
+        if parallel.multihost.is_multihost():
+            return None
+
+        if parallel.is_spatial_mesh(mesh):
+            def put(np_chunk):
+                inp, gt = np_chunk
+                return parallel.shard_train_chunk({'inp': inp, 'gt': gt},
+                                                  mesh)
+            return put
+
+        def put(np_chunk):
+            inp, gt = np_chunk
+            if ubs > 0 and n_dev > 1:
+                inp = tuple(parallel.reorder_two_stream_steps(a, lbs, ubs, n_dev)
+                            for a in inp)
+                gt = tuple(parallel.reorder_two_stream_steps(a, lbs, ubs, n_dev)
+                           for a in gt)
+            return parallel.shard_step_chunk({'inp': inp, 'gt': gt}, mesh)
         return put
 
     # ------------------------------------------------------------------

@@ -102,14 +102,23 @@ def test_suponly_gspmd_tracks_data_parallel():
 
     # same forward on the same init → first loss essentially identical
     assert abs(losses_dp[0] - losses_sp[0]) < 1e-5, (losses_dp[0], losses_sp[0])
-    # trajectories agree step for step. The early steps are the fresh-BN
-    # transient (CLAUDE.md: loss spikes ~10-30 steps on random init), a
-    # chaotic regime that amplifies the layouts' differing fp32 rounding —
-    # 15% bounds the observed ~7%; the f64 test above is the proof the
-    # underlying math is identical.
+    # Trajectories agree step for step — but the early steps are the
+    # fresh-BN transient (CLAUDE.md: loss spikes ~10-30 steps on random
+    # init), a chaotic regime that amplifies the layouts' differing fp32
+    # rounding. Measured profile (this host, AVX2-pinned XLA:CPU): rel
+    # diff ≤2.5% at every step EXCEPT a single ~17% excursion at the
+    # transient trough (step 9), after which tracking returns to ~1%.
+    # So: per-step bound 30% (a wrong batch order / halo bug produces
+    # O(100%) immediately), PLUS a 5% bound on the median rel diff —
+    # tight where it is meaningful, immune to one chaotic step. The f64
+    # test above is the proof the underlying math is identical.
+    rel = []
     for i, (a, b) in enumerate(zip(losses_dp, losses_sp)):
         assert np.isfinite(a) and np.isfinite(b)
-        assert abs(a - b) < 0.15 * max(1.0, abs(a)), (i, a, b)
+        r = abs(a - b) / max(1.0, abs(a))
+        rel.append(r)
+        assert r < 0.30, (i, a, b)
+    assert float(np.median(rel)) < 0.05, rel
 
 
 def test_mt_two_stream_spatial_runs():

@@ -72,6 +72,14 @@ def main():
         from pixelssl_tpu.utils import env as _env
         _env.enable_compile_cache(os.path.join(_HERE, '..', '.jax_cache'))
 
+        if opts.native:
+            # a benchmark must not silently measure the PIL fallback
+            from pixelssl_tpu.nn import native
+            assert native.decode_available(), (
+                'native augment library not built — run '
+                '`make -C pixelssl_tpu/native` (or pass --native 0 to '
+                'measure the PIL path deliberately)')
+
         config = collections.OrderedDict([
             ('exp_id', 'e2e_tpu_bench'),
             ('ssl_algorithm', 'ssl_mt'),
