@@ -16,16 +16,16 @@ ratio matches the reference config) so the value is comparable across
 batch points — round 1 recorded 61.03 steps/s at b4+2 = 244 samples/s.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md) and
-requires CUDA GPUs this environment lacks, so ``vs_baseline`` divides by a
-MEASURED reference-faithful torch Mean-Teacher rate on the hardware we do
-have: ``tools/torch_mt_bench.py`` reruns the reference's exact iteration
-(double noised forward, CE + consistency MSE, SGD, Python-loop EMA) on
-the real DeepLab-v2/R101 at 321px and records total samples/s to
-``tools/torch_mt_cpu.json`` (committed). The ratio therefore compares a
-TPU chip against the reference implementation on this host's CPU —
-cross-hardware by necessity, clearly labeled via ``baseline_*`` fields.
-The round-2 ESTIMATED single-V100 denominator (~1.3 steps/s x 4 = 5.2
-samples/s) is retained as the informational ``vs_estimated_v100``.
+requires CUDA GPUs this environment lacks. ``vs_baseline`` therefore
+divides by the ESTIMATED reference torch-DataParallel MT rate on one V100
+(~1.3 steps/s x 4 samples = 5.2 samples/s) — cross-hardware by necessity
+and labeled as an estimate, but the only decision-relevant denominator.
+The MEASURED reference-faithful torch rate on this host
+(``tools/torch_mt_bench.py`` -> ``tools/torch_mt_cpu.json``, 1-thread
+CPU) is reported separately as ``vs_torch_cpu_1thread``: a three-orders-
+of-magnitude ratio against a CPU is a sanity floor, not a headline
+(round-3 verdict weakness #2). ``mfu_bf16`` is computed from the XLA
+cost analysis of the compiled program against the chip's bf16 peak.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -115,24 +115,54 @@ def main():
     steps_per_sec_per_chip = total_steps / dt / n_dev
     samples_per_sec_per_chip = steps_per_sec_per_chip * BATCH_PER_CHIP
 
+    # MFU from the XLA cost analysis of the compiled multi-step program:
+    # flops are for the whole (SCAN_STEPS+1)-step dispatch across n_dev
+    # chips. Peak table: bf16 per chip (the conv compute dtype).
+    _PEAK_BF16 = {'TPU v5 lite': 197e12, 'TPU v5e': 197e12,
+                  'TPU v4': 275e12, 'TPU v6 lite': 918e12,
+                  'TPU v6e': 918e12}
+    mfu = flops_per_step = None
+    try:
+        cost = stepper.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost['flops']) / (SCAN_STEPS + 1) / n_dev
+        kind = jax.devices()[0].device_kind
+        peak = next((v for k, v in _PEAK_BF16.items() if k in kind), None)
+        if peak:
+            mfu = steps_per_sec_per_chip * flops_per_step / peak
+    except Exception:
+        pass  # cost analysis is best-effort; the headline stands alone
+
     record = {
         'metric': 'ssl_mt_deeplabv2_r101_321_b8+4_train_samples_per_sec_per_chip',
         'value': round(samples_per_sec_per_chip, 2),
         'unit': 'samples/s/chip',
+        'samples_per_sec_per_chip': round(samples_per_sec_per_chip, 2),
+        # vs_baseline: the reference publishes no throughput numbers and
+        # needs CUDA hardware this host lacks, so the ratio is against the
+        # ESTIMATED reference torch-DataParallel MT rate on one V100
+        # (~1.3 steps/s x 4 samples) — the closest decision-relevant
+        # denominator; clearly cross-hardware and labeled as an estimate.
+        'vs_baseline': round(
+            samples_per_sec_per_chip / ESTIMATED_V100_SAMPLES_PER_SEC, 3),
+        'baseline_device': 'estimated single V100 torch MT (no published '
+                           'reference throughput; see BASELINE.md)',
         'vs_estimated_v100': round(
             samples_per_sec_per_chip / ESTIMATED_V100_SAMPLES_PER_SEC, 3),
     }
+    if mfu is not None:
+        record['mfu_bf16'] = round(mfu, 3)
+        record['tflop_per_step'] = round(flops_per_step / 1e12, 3)
     measured, meta = _measured_torch_baseline()
     if measured:
-        record['vs_baseline'] = round(samples_per_sec_per_chip / measured, 3)
-        record['baseline_metric'] = meta['metric']
-        record['baseline_samples_per_sec'] = measured
-        record['baseline_device'] = meta['device']
-    else:
-        # no measured torch rate on this machine — fall back to the
-        # labeled estimate rather than inventing a number
-        record['vs_baseline'] = record['vs_estimated_v100']
-        record['baseline_device'] = 'estimated single V100 (no measurement)'
+        # MEASURED reference-torch rate — but on this host's 1-thread CPU,
+        # so the ratio is an apples-to-oranges sanity floor, not a headline
+        record['vs_torch_cpu_1thread'] = round(
+            samples_per_sec_per_chip / measured, 3)
+        record['torch_cpu_metric'] = meta['metric']
+        record['torch_cpu_samples_per_sec'] = measured
+        record['torch_cpu_device'] = meta['device']
     print(json.dumps(record))
 
 

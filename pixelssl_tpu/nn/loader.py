@@ -48,6 +48,12 @@ class DataLoader(object):
     In chunk mode the iterator yields ``('chunk', batch)`` for full
     dispatch chunks and ``('single', batch)`` for the leftover tail
     batches (and for any group with ragged batch sizes).
+
+    Memory note: each prefetch-queue slot then holds a whole dispatch
+    chunk (``chunk_steps`` x batch samples), so host/device memory scales
+    ``prefetch x chunk_steps x batch``; the iterator therefore divides the
+    requested prefetch depth by ``chunk_steps`` (floor 1) — one chunk
+    ahead plus the one being assembled is already a double buffer.
     """
 
     def __init__(self, dataset, batch_sampler, num_workers=0,
@@ -60,6 +66,12 @@ class DataLoader(object):
         self.device_put_fn = device_put_fn
         self.chunk_steps = max(1, chunk_steps)
         self.chunk_put_fn = chunk_put_fn
+        # chunk mode without a sharded transfer fn would hand raw numpy
+        # ('chunk', ...) payloads to the train loop, which feeds them
+        # unsharded to the multi-step dispatch — a silent wrong-layout
+        # path; the proxy always pairs the two, enforce it here too
+        assert self.chunk_steps == 1 or chunk_put_fn is not None, (
+            'DataLoader(chunk_steps=%d) requires chunk_put_fn' % chunk_steps)
 
     def __len__(self):
         return len(self.batch_sampler)
@@ -106,7 +118,10 @@ class DataLoader(object):
     def __iter__(self):
         pool = (ThreadPoolExecutor(max_workers=self.num_workers)
                 if self.num_workers > 0 else None)
-        out_q = queue.Queue(maxsize=self.prefetch)
+        # in chunk mode a slot is chunk_steps batches — scale the queue
+        # depth down so memory stays ~prefetch batches either way
+        depth = max(1, self.prefetch // self.chunk_steps)
+        out_q = queue.Queue(maxsize=depth)
         _END = object()
         error = []
         stop = threading.Event()

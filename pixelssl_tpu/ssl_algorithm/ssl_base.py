@@ -270,6 +270,21 @@ class SSLBase(object):
         prof.close(self.state)
         return self.meters
 
+    def _log_train_metrics(self, epoch, done, n_batches, metrics):
+        """Sync one step's metrics to host, feed the meters, and emit the
+        iter log line + jsonl record (shared by the dispatch and tail
+        paths of _train_multi)."""
+        metrics = jax.device_get(metrics)
+        vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        self.meters.update_dict(vals)
+        logger.log_info(
+            'epoch {0:>3} iter {1:>5}/{2:<5} {3}'.format(
+                epoch, done, n_batches,
+                '  '.join('{0}: {1:.5f}'.format(k, v)
+                          for k, v in sorted(vals.items()))))
+        self._log_jsonl(dict(vals, phase='train', epoch=epoch, iter=done,
+                             algorithm=self.NAME))
+
     def _train_multi(self, data_loader, epoch):
         """Multi-step dispatch path: lax.scan over --steps-per-dispatch
         batches per device round-trip. When the loader runs in chunk mode
@@ -296,13 +311,18 @@ class SSLBase(object):
                     self.state, metrics = self._train_step(
                         self.state, payload)
                     done += 1
+                    # tail steps must still reach the meters / iter log
+                    # (otherwise the epoch's last iterations are invisible)
+                    if done % max(args.log_freq, 1) == 0 or done >= n_batches:
+                        self._log_train_metrics(epoch, done, n_batches,
+                                                metrics)
                     continue
                 stacked = payload
                 n_in_chunk = n
+                # last step's batch is sliced lazily inside the visual
+                # branch below — an eager device slice per chunk would
+                # dispatch work even when visual_freq never fires
                 last_batch = None
-                if visualizing:
-                    # last step's batch, sliced on device (keeps shardings)
-                    last_batch = jax.tree.map(lambda x: x[-1], stacked)
             else:
                 chunk.append(item)
                 if len(chunk) < n:
@@ -315,9 +335,12 @@ class SSLBase(object):
             dispatch_idx += 1
             self.state, metrics = self._multi_step(self.state, stacked)
             done += n_in_chunk
-            if (getattr(args, 'visualize', False) and
-                    getattr(args, 'visual_train_path', '') and
-                    done % max(1, args.visual_freq) < n):
+            if (visualizing and
+                    done % max(1, args.visual_freq) < n_in_chunk):
+                if last_batch is None:
+                    # sliced on device (keeps shardings); `stacked` is
+                    # still alive here
+                    last_batch = jax.tree.map(lambda x: x[-1], stacked)
                 outputs = self._eval_step(self.state, last_batch)
                 out = os.path.join(args.visual_train_path,
                                    '{0}_{1}'.format(epoch, done))
@@ -329,19 +352,15 @@ class SSLBase(object):
                         gt=tuple(a[:1] for a in last_batch['gt']))
                 self._debug_visualize(last_batch, out)
             if done % max(args.log_freq, n) < n or done >= n_batches:
-                metrics = jax.device_get(metrics)
-                self.meters.update_dict(
-                    {k: float(np.asarray(v)) for k, v in metrics.items()})
-                logger.log_info(
-                    'epoch {0:>3} iter {1:>5}/{2:<5} {3}'.format(
-                        epoch, done, n_batches,
-                        '  '.join('{0}: {1:.5f}'.format(k, float(np.asarray(v)))
-                                  for k, v in sorted(metrics.items()))))
+                self._log_train_metrics(epoch, done, n_batches, metrics)
         prof.close(self.state)
-        # leftover batches (< n): single-step path
+        # leftover batches (< n): single-step path; log the final one so
+        # the epoch tail shows up in the meters / iter log
         for batch in chunk:
             self.state, metrics = self._train_step(self.state, batch)
             done += 1
+        if chunk:
+            self._log_train_metrics(epoch, done, n_batches, metrics)
         self.meters.update('batch_time', (time.time() - t0) / max(1, done))
         return self.meters
 
