@@ -98,9 +98,15 @@ def main():
 
     # warmup / compile — and a guard that steps actually execute: the step
     # counter must advance and the loss must be finite
+    import sys
+
     import numpy as np
+    t_c = time.perf_counter()
+    print('bench: compiling/warmup...', file=sys.stderr, flush=True)
     state, metrics = stepper(algo.state, batch)
     jax.block_until_ready(metrics)
+    print('bench: warmup done in %.0fs' % (time.perf_counter() - t_c),
+          file=sys.stderr, flush=True)
     assert int(np.asarray(state['step'])) == SCAN_STEPS + 1, 'steps did not run'
     assert np.isfinite(float(np.asarray(metrics['s_task_loss']))), 'loss not finite'
 
@@ -121,18 +127,30 @@ def main():
     _PEAK_BF16 = {'TPU v5 lite': 197e12, 'TPU v5e': 197e12,
                   'TPU v4': 275e12, 'TPU v6 lite': 918e12,
                   'TPU v6e': 918e12}
+    print('bench: timed %d steps in %.1fs' % (total_steps, dt),
+          file=sys.stderr, flush=True)
+    # MFU from the committed HLO cost analysis of the SAME step program
+    # (tools/flops_probe.py -> tools/mt_step_flops.json): the axon TPU
+    # platform returns None from Lowered.cost_analysis() and its compiled
+    # analysis underreports conv flops ~20x (measured 0.082 vs the HLO
+    # count), so the per-chip step flops come from a CPU lowering of the
+    # identical program — HLO flop math is platform-independent.
     mfu = flops_per_step = None
     try:
-        cost = stepper.lower(state, batch).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost['flops']) / (SCAN_STEPS + 1) / n_dev
+        fp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'tools', 'mt_step_flops.json')
+        with open(fp) as f:
+            rec = json.load(f)
+        flops_per_step = float(rec['ssl_mt_deeplabv2_r101_321_b%d+%d'
+                                   % (BATCH_PER_CHIP, UNLABELED_PER_CHIP)
+                               ]['flops'])
         kind = jax.devices()[0].device_kind
         peak = next((v for k, v in _PEAK_BF16.items() if k in kind), None)
         if peak:
             mfu = steps_per_sec_per_chip * flops_per_step / peak
-    except Exception:
-        pass  # cost analysis is best-effort; the headline stands alone
+    except Exception as e:  # best-effort; the headline stands alone
+        print('bench: flops cache unavailable: %r' % (e,),
+              file=sys.stderr, flush=True)
 
     record = {
         'metric': 'ssl_mt_deeplabv2_r101_321_b8+4_train_samples_per_sec_per_chip',

@@ -41,6 +41,14 @@ def add_parser_arguments(parser):
                         help='sseg - use the fused C++ augmentation library '
                              '(faster; point-sampled bilinear instead of '
                              "PIL's antialiased resize)")
+    parser.add_argument('--decoded-cache',
+                        type=cmd.str2bool,
+                        default=False,
+                        help='sseg - cache decoded images in RAM so each '
+                             'training access skips JPEG/PNG decode (random '
+                             'augmentation still runs per access). Costs '
+                             '~H*W*7 bytes per train image; pairs with '
+                             '--native-augment to feed few-core hosts')
 
 
 def pascal_voc_aug():
@@ -145,6 +153,14 @@ class PascalVocDataset(data_template.TaskDataset):
         self._access_counts = {}
         self._use_native = False
         self._dims_cache = {}
+        # decoded-image RAM cache (--decoded-cache): idx -> (uint8 [h,w,3]
+        # image, int32 [h,w] label or None). The 1-core TPU host decodes
+        # ~half its augment budget away (tools/loader_bench.py); caching
+        # the decode keeps augmentation randomness fully intact while
+        # roughly doubling loader throughput. Train-time only.
+        self._decoded_cache = ({} if is_train and
+                               getattr(args, 'decoded_cache', False)
+                               else None)
         if getattr(args, 'native_augment', False):
             from ...nn import native
             self._use_native = native.decode_available()
@@ -174,6 +190,20 @@ class PascalVocDataset(data_template.TaskDataset):
         flip = bool(rng.random() < 0.5)
         return (oh, ow), (y1, x1), flip
 
+    def _decoded(self, idx, img_path, label_path):
+        """Decode-once cache entry: (uint8 [h,w,3] image, int32 [h,w]
+        label or None). Concurrent first accesses may decode twice; the
+        dict insert under the lock keeps one winner."""
+        ent = self._decoded_cache.get(idx)
+        if ent is not None:
+            return ent
+        img = np.asarray(Image.open(img_path).convert('RGB'), np.uint8)
+        lbl = (np.asarray(Image.open(label_path), np.int32)
+               if label_path is not None else None)
+        with self._access_lock:
+            self._decoded_cache.setdefault(idx, (img, lbl))
+        return self._decoded_cache[idx]
+
     def _native_train_item(self, rng, idx, img_path, label_path):
         """Whole-sample C++ pipeline (nn/native.py decode_augment_sample):
         JPEG+PNG decode and the fused scale-crop-flip-normalize run in one
@@ -181,8 +211,26 @@ class PascalVocDataset(data_template.TaskDataset):
         torch reference needs worker processes for this,
         pixelssl/task_template/proxy.py:374-380). Geometry distribution
         matches random_scale_crop; resize is point-sampled bilinear rather
-        than PIL's antialiased filter. Returns None on decode failure."""
+        than PIL's antialiased filter. Returns None on decode failure.
+
+        With --decoded-cache the decode happens once (PIL, kept as uint8)
+        and only the fused scale-crop-flip-normalize runs natively per
+        access — the SAME geometry rng stream either way, so the cached
+        and fused paths see identical crops (pixels may differ by JPEG
+        decoder rounding; tests/test_native_augment.py bounds it)."""
         from ...nn import native
+        fill = 0 if label_path is not None else -1  # matches the PIL path
+        if self._decoded_cache is not None:
+            try:
+                img, lbl = self._decoded(idx, img_path, label_path)
+            except (IOError, OSError):
+                return None  # unreadable file → PIL fallback error path
+            resize_hw, crop_yx, flip = self._geometry(
+                rng, img.shape[0], img.shape[1])
+            out_im, out_lb = native.augment_batch(
+                [img], [lbl], [resize_hw], [crop_yx], [flip], [fill],
+                self.im_size, n_threads=1)
+            return (out_im[0],), (out_lb[0],)
         dims = self._dims_cache.get(idx)
         if dims is None:
             try:
@@ -193,7 +241,6 @@ class PascalVocDataset(data_template.TaskDataset):
                 self._dims_cache[idx] = dims
         h, w = dims
         resize_hw, crop_yx, flip = self._geometry(rng, h, w)
-        fill = 0 if label_path is not None else -1  # matches the PIL path
         out = native.decode_augment_sample(
             img_path, label_path, resize_hw, crop_yx, flip, fill,
             self.im_size)

@@ -37,7 +37,10 @@ NUM_CLASSES = 5
 # normalization amplifies last-ulp fp noise into O(1) mask differences
 # between frameworks (measured: handler output 0.97 vs 0.0 on a map with
 # 3e-8 spatial range). 96px gives a 2x2 map with real structure, so the
-# threshold masks are well-conditioned on both sides.
+# threshold masks are well-conditioned on both sides. A second test runs
+# ONE composed step at 161px (4x4 FD map, blur kernels 11/21/41 — the
+# same large-kernel regime as the 321px benchmark) per round-3 verdict
+# item #5.
 IM = 96
 BATCH = 4
 LBS = 2
@@ -198,12 +201,13 @@ def _sigmoid_rampup(cur, total):
     return float(np.exp(-5.0 * phase * phase))
 
 
-def _torch_gct_train(tl, tr, tfd, images, labels):
-    """N_STEPS of the reference 3-phase GCT iteration; returns per-step
+def _torch_gct_train(tl, tr, tfd, images, labels,
+                     n_steps=N_STEPS, im=IM, lbs=LBS):
+    """n_steps of the reference 3-phase GCT iteration; returns per-step
     metric dicts (reference ssl_gct.py:176-298)."""
     xt = torch.from_numpy(images).permute(0, 3, 1, 2)
     yt = torch.from_numpy(labels).long()
-    gt_oh = _onehot_ignore_t(yt[:LBS], NUM_CLASSES)
+    gt_oh = _onehot_ignore_t(yt[:lbs], NUM_CLASSES)
 
     def sgd(net):
         return torch.optim.SGD(
@@ -220,7 +224,7 @@ def _torch_gct_train(tl, tr, tfd, images, labels):
         net.train()
 
     rows = []
-    for s in range(N_STEPS):
+    for s in range(n_steps):
         m = {}
         rampup = _sigmoid_rampup(s, float(ITERS_PER_EPOCH))
         # phase 0: no-grad pre-forwards (BN stats update) + FD forwards
@@ -231,8 +235,8 @@ def _torch_gct_train(tl, tr, tfd, images, labels):
             r_act0 = torch.softmax(tr(xt), dim=1)
         fm_l0 = tfd(xt, l_act0)
         fm_r0 = tfd(xt, r_act0)
-        l_h = _flawmap_handler_t(fm_l0, IM)
-        r_h = _flawmap_handler_t(fm_r0, IM)
+        l_h = _flawmap_handler_t(fm_l0, im)
+        r_h = _flawmap_handler_t(fm_r0, im)
         l_dc_gt, r_dc_gt, both_bad = _dcgt_generator_t(
             l_act0, r_act0, l_h, r_h, DC_THRESHOLD)
 
@@ -245,7 +249,7 @@ def _torch_gct_train(tl, tr, tfd, images, labels):
             logits = net(xt)
             act = torch.softmax(logits, dim=1)
             fm = tfd(xt, act)
-            task_loss = _ce_t(logits[:LBS], yt[:LBS])
+            task_loss = _ce_t(logits[:lbs], yt[:lbs])
             fc = both_bad * fm ** 2
             fc_loss = FC_SCALE * fc.mean(dim=(1, 2, 3)).mean()
             dc = ((act - dc_gt) ** 2).mean(dim=(1, 2, 3))
@@ -259,11 +263,11 @@ def _torch_gct_train(tl, tr, tfd, images, labels):
             fp.requires_grad_(True)
 
         # phase 2: FD on the labeled slice of the phase-0 flawmaps
-        l_fdgt = _fdgt_generator_t(l_act0[:LBS], gt_oh, IM, MU, NU)
-        r_fdgt = _fdgt_generator_t(r_act0[:LBS], gt_oh, IM, MU, NU)
+        l_fdgt = _fdgt_generator_t(l_act0[:lbs], gt_oh, im, MU, NU)
+        r_fdgt = _fdgt_generator_t(r_act0[:lbs], gt_oh, im, MU, NU)
         fd_opt.zero_grad()
-        l_fd = ((fm_l0[:LBS] - l_fdgt) ** 2).mean(dim=(1, 2, 3)).mean()
-        r_fd = ((fm_r0[:LBS] - r_fdgt) ** 2).mean(dim=(1, 2, 3)).mean()
+        l_fd = ((fm_l0[:lbs] - l_fdgt) ** 2).mean(dim=(1, 2, 3)).mean()
+        r_fd = ((fm_r0[:lbs] - r_fdgt) ** 2).mean(dim=(1, 2, 3)).mean()
         ((l_fd + r_fd) / 2.0).backward()
         fd_opt.step()
         m['l_fd_loss'] = float(l_fd.detach())
@@ -279,7 +283,9 @@ METRIC_KEYS = ('l_task_loss', 'r_task_loss', 'l_fc_loss', 'r_fc_loss',
                'l_dc_loss', 'r_dc_loss', 'l_fd_loss', 'r_fd_loss')
 
 
-def test_gct_trainstep_matches_torch():
+def _run_gct_parity(im, batch_n, lbs, n_steps, tol_soft):
+    """Composed GCT parity at the given size; returns (final jax state,
+    torch nets) so callers can extend the terminal-param checks."""
     from pixelssl_tpu import harness, parallel
     from pixelssl_tpu.models.convert import convert_deeplab_v2
 
@@ -292,13 +298,13 @@ def test_gct_trainstep_matches_torch():
                 mod.running_var.uniform_(0.5, 1.5)
 
     rng = np.random.default_rng(11)
-    images = rng.standard_normal((BATCH, IM, IM, 3)).astype(np.float32)
-    labels = rng.integers(0, NUM_CLASSES, (BATCH, IM, IM)).astype(np.int32)
+    images = rng.standard_normal((batch_n, im, im, 3)).astype(np.float32)
+    labels = rng.integers(0, NUM_CLASSES, (batch_n, im, im)).astype(np.int32)
     labels[:, :4, :4] = 255
 
     args = harness.default_args(
-        'ssl_gct', backbone='resnet10', im_size=IM, num_classes=NUM_CLASSES,
-        batch_size=BATCH, unlabeled_batch_size=BATCH - LBS,
+        'ssl_gct', backbone='resnet10', im_size=im, num_classes=NUM_CLASSES,
+        batch_size=batch_n, unlabeled_batch_size=batch_n - lbs,
         ignore_unlabeled=False, bf16=False,
         lr=LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY, power=POWER,
         epochs=2, ssl_mode='gct', fc_ssl_scale=FC_SCALE,
@@ -326,23 +332,29 @@ def test_gct_trainstep_matches_torch():
 
     batch = parallel.shard_batch({'inp': (images,), 'gt': (labels,)}, mesh)
     jax_rows = []
-    for _ in range(N_STEPS):
+    for _ in range(n_steps):
         state, metrics = algo._train_step(state, batch)
         jax_rows.append({k: float(np.asarray(metrics[k]))
                          for k in METRIC_KEYS})
 
-    torch_rows = _torch_gct_train(tl, tr, tfd, images, labels)
+    torch_rows = _torch_gct_train(tl, tr, tfd, images, labels,
+                                  n_steps=n_steps, im=im, lbs=lbs)
 
-    for s in range(N_STEPS):
+    for s in range(n_steps):
         for k in METRIC_KEYS:
             a, b = jax_rows[s][k], torch_rows[s][k]
             # CE / FD MSE are threshold-free -> tight; fc/dc go through
             # hard masks on blurred normalized flawmaps -> looser (see
             # module docstring)
-            tol = 2e-3 if ('task' in k or 'fd' in k) else 2e-2
+            tol = 2e-3 if ('task' in k or 'fd' in k) else tol_soft
             assert np.isclose(a, b, rtol=tol, atol=1e-6), (s, k, a, b)
+    return jax.device_get(state), tl, tr, tfd
 
-    final = jax.device_get(state)
+
+def test_gct_trainstep_matches_torch():
+    final, tl, tr, tfd = _run_gct_parity(
+        IM, BATCH, LBS, N_STEPS, tol_soft=2e-2)
+
     # terminal task-model params after 2 SGD(momentum, wd, poly-lr) steps
     for key, net in (('l_model', tl), ('r_model', tr)):
         stem = np.asarray(final[key]['params']['net']
@@ -371,3 +383,30 @@ def test_gct_trainstep_matches_torch():
     np.testing.assert_allclose(
         np.asarray(sb['mean']), tfd.ibn1.bn.running_mean.detach().numpy(),
         atol=1e-4)
+
+
+def test_gct_trainstep_matches_torch_161px():
+    """One composed 3-phase step at 161px (round-3 verdict item #5): the
+    FD conv chain yields a 4x4 pre-upsample map and the pipeline blur
+    kernels are odd(161/16)=11, odd(161/8)=21, odd(161/4)=41 — the same
+    large-kernel FlawmapHandler / FDGT regime the 321px benchmark runs
+    (odd(321/16)=21 ... odd(321/4)=81), which the 96px test (kernels
+    7/13/25) never touches. batch 2 (1 labeled) keeps the CPU cost of the
+    resnet10 twins tractable. fc/dc tolerance 1e-2: at 161^2 pixels one
+    threshold-mask flip moves the mean ~2.3x less than at 96^2, and the
+    measured drift over one step is <2e-3; 1e-2 keeps margin for fp
+    variation across hosts while staying 2x tighter than the 96px bound.
+    Reference: pixelssl/ssl_algorithm/ssl_gct.py:624-728."""
+    final, tl, tr, tfd = _run_gct_parity(
+        161, 2, 1, 1, tol_soft=1e-2)
+
+    # terminal spot-checks: one SGD step on the task models, one Adam
+    # step on the FD, at the large size
+    stem = np.asarray(final['l_model']['params']['net']
+                      ['backbone_net']['conv1']['kernel'])
+    t_stem = tl.backbone.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(stem, t_stem, atol=3e-4)
+    w = np.asarray(final['fd_model']['params']['conv1']['kernel']
+                   ).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(w, tfd.conv1.weight.detach().numpy(),
+                               atol=5e-4)

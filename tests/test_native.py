@@ -156,3 +156,58 @@ def test_dataset_native_path_matches_geometry_contract(tmp_path):
     (img2,), (gt2,) = ds2[0]
     np.testing.assert_array_equal(img, img2)
     np.testing.assert_array_equal(gt, gt2)
+
+
+@pytest.mark.skipif(not native.decode_available(),
+                    reason='native decode not built')
+def test_decoded_cache_matches_fused_path(tmp_path):
+    """--decoded-cache: PIL-decode-once + native augment_batch must equal
+    the fused decode_augment_sample path bit-exactly — same geometry rng
+    stream (dataset _geometry), same C++ resample code, and PIL/native
+    both decode via libjpeg (bit-exactness of the decoders themselves is
+    asserted by test_native_decode_augment_matches_pil)."""
+    import argparse
+    from PIL import Image
+    from pixelssl_tpu.tasks.sseg import data as sseg_data
+
+    root = tmp_path / 'voc'
+    img_dir = root / 'JPEGImages'
+    lbl_dir = root / 'SegmentationClassAug'
+    set_dir = root / 'ImageSets' / 'Segmentation'
+    for d in (img_dir, lbl_dir, set_dir):
+        d.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    names = []
+    for i in range(3):
+        name = 'im{0}'.format(i)
+        names.append(name)
+        arr = rng.integers(0, 255, (40 + 3 * i, 55, 3), np.uint8)
+        Image.fromarray(arr).save(str(img_dir / (name + '.jpg')))
+        lb = rng.integers(0, 21, (40 + 3 * i, 55)).astype(np.uint8)
+        Image.fromarray(lb, mode='L').save(str(lbl_dir / (name + '.png')))
+    (set_dir / 'train_aug.txt').write_text('\n'.join(names) + '\n')
+    (set_dir / 'val.txt').write_text('\n'.join(names) + '\n')
+
+    def make(cache_on):
+        args = argparse.Namespace(
+            trainset={'pascalvoc': str(root)}, valset={'pascalvoc': str(root)},
+            im_size=32, train_base_size=48, val_rescaling=False,
+            native_augment=True, decoded_cache=cache_on, seed=9,
+            ignore_index=255, num_classes=21)
+        return sseg_data.PascalVocAugDataset(args, is_train=True)
+
+    fused, cached = make(False), make(True)
+    assert cached._decoded_cache is not None
+    for idx in range(3):
+        for _ in range(2):  # two accesses: distinct augment draws each
+            (fi,), (fg,) = fused[idx]
+            (ci,), (cg,) = cached[idx]
+            np.testing.assert_array_equal(fi, ci)
+            np.testing.assert_array_equal(fg, cg)
+    assert len(cached._decoded_cache) == 3  # decode happened once per image
+
+    # unlabeled samples (no label file on disk) fill -1 through the cache
+    (lbl_dir / 'im0.png').unlink()
+    c2 = make(True)
+    (_, ), (g2,) = c2[0]
+    assert np.all(g2 == -1)

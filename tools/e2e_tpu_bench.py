@@ -54,6 +54,9 @@ def main():
     p.add_argument('--workers', type=int, default=4)
     p.add_argument('--dispatch', type=int, default=8)
     p.add_argument('--native', type=int, default=1)
+    p.add_argument('--decoded-cache', type=int, default=0,
+                   help='cache decoded images in RAM (--decoded-cache '
+                        'flag): decode once, augment per access')
     p.add_argument('--keep-dir', default='')
     opts = p.parse_args()
 
@@ -96,6 +99,7 @@ def main():
             ('sublabeled_path', sub_path),
             ('num_workers', opts.workers),
             ('native_augment', bool(opts.native)),
+            ('decoded_cache', bool(opts.decoded_cache)),
             ('steps_per_dispatch', opts.dispatch),
             ('models', {'model': 'deeplabv2'}),
             ('optimizers', {'model': 'sgd'}),
@@ -150,6 +154,7 @@ def main():
                 sum(r['wall_s'] for r in epochs[:opts.warmup_epochs]), 1),
             'workers': opts.workers,
             'native_augment': bool(opts.native),
+            'decoded_cache': bool(opts.decoded_cache),
             'steps_per_dispatch': opts.dispatch,
         }), flush=True)
     finally:
