@@ -64,6 +64,12 @@ struct AugmentJob {
   int label_fill;         // fill for out-of-bounds label (pad region)
   float* out_image;       // [crop, crop, 3] normalized float32
   int32_t* out_label;     // [crop, crop]
+  // raw-u8 wire mode: when out_image_u8 is set the job writes rounded
+  // uint8 RGB (pad = 0) + int16 labels instead — 3.2x fewer bytes per
+  // sample over the host->TPU link; normalization moves into the jitted
+  // step (task device_prep hook). out_image/out_label are ignored then.
+  uint8_t* out_image_u8 = nullptr;
+  int16_t* out_label_i16 = nullptr;
 };
 
 const float kMean[3] = {0.485f, 0.456f, 0.406f};
@@ -72,31 +78,44 @@ const float kStd[3] = {0.229f, 0.224f, 0.225f};
 void run_job(const AugmentJob& j) {
   const float sy_scale = (float)j.h / (float)j.rh;
   const float sx_scale = (float)j.w / (float)j.rw;
+  const bool raw = j.out_image_u8 != nullptr;
   for (int y = 0; y < j.crop; ++y) {
     int ry = y + j.cy;  // coordinate in the resized image
     for (int x = 0; x < j.crop; ++x) {
       int rx = x + j.cx;
       int ox = j.flip ? (j.crop - 1 - x) : x;
-      float* out_px = j.out_image + (y * j.crop + ox) * 3;
-      int32_t* out_lb = j.out_label + y * j.crop + ox;
+      const size_t o = (size_t)y * j.crop + ox;
       if (ry < 0 || ry >= j.rh || rx < 0 || rx >= j.rw) {
         // zero-pad region (reference pads image with 0, label with fill)
-        for (int c = 0; c < 3; ++c) out_px[c] = (0.0f - kMean[c]) / kStd[c];
-        *out_lb = j.label_fill;
+        if (raw) {
+          for (int c = 0; c < 3; ++c) j.out_image_u8[o * 3 + c] = 0;
+          j.out_label_i16[o] = (int16_t)j.label_fill;
+        } else {
+          for (int c = 0; c < 3; ++c)
+            j.out_image[o * 3 + c] = (0.0f - kMean[c]) / kStd[c];
+          j.out_label[o] = j.label_fill;
+        }
         continue;
       }
       float sy = (ry + 0.5f) * sy_scale - 0.5f;
       float sx = (rx + 0.5f) * sx_scale - 0.5f;
       float rgb[3];
       sample_bilinear(j.image, j.h, j.w, sy, sx, rgb);
-      for (int c = 0; c < 3; ++c)
-        out_px[c] = (rgb[c] / 255.0f - kMean[c]) / kStd[c];
+      int32_t lb = j.label_fill;
       if (j.label) {
         int ny = std::min(j.h - 1, std::max(0, (int)(sy + 0.5f)));
         int nx = std::min(j.w - 1, std::max(0, (int)(sx + 0.5f)));
-        *out_lb = j.label[ny * j.w + nx];
+        lb = j.label[ny * j.w + nx];
+      }
+      if (raw) {
+        for (int c = 0; c < 3; ++c)
+          j.out_image_u8[o * 3 + c] =
+              (uint8_t)std::min(255.0f, std::max(0.0f, rgb[c] + 0.5f));
+        j.out_label_i16[o] = (int16_t)lb;
       } else {
-        *out_lb = j.label_fill;
+        for (int c = 0; c < 3; ++c)
+          j.out_image[o * 3 + c] = (rgb[c] / 255.0f - kMean[c]) / kStd[c];
+        j.out_label[o] = lb;
       }
     }
   }
@@ -223,6 +242,30 @@ int decode_augment_sample(
   return 0;
 }
 
+// Raw-u8 wire variant of decode_augment_sample: uint8 RGB + int16 label
+// outputs (see AugmentJob.out_image_u8). Same geometry/decode code.
+int decode_augment_sample_raw(
+    const char* image_path, const char* label_path,  // label_path may be NULL
+    int resize_h, int resize_w, int crop_y, int crop_x,
+    int flip, int label_fill, int crop_size,
+    uint8_t* out_image_u8, int16_t* out_label_i16) {
+  std::vector<uint8_t> img;
+  int h = 0, w = 0;
+  if (!decode_jpeg_rgb(image_path, &img, &h, &w)) return 1;
+  std::vector<int32_t> lbl;
+  int lh = 0, lw = 0;
+  if (label_path != nullptr) {
+    if (!decode_png_label(label_path, &lbl, &lh, &lw)) return 2;
+    if (lh != h || lw != w) return 3;
+  }
+  AugmentJob j{img.data(), label_path ? lbl.data() : nullptr,
+               h, w, resize_h, resize_w, crop_y, crop_x, crop_size,
+               flip, label_fill, nullptr, nullptr,
+               out_image_u8, out_label_i16};
+  run_job(j);
+  return 0;
+}
+
 // Header-only size probe (no full decode): JPEG SOF dimensions.
 int jpeg_dims(const char* path, int32_t* h, int32_t* w) {
   FILE* f = fopen(path, "rb");
@@ -283,6 +326,29 @@ int augment_batch(
   }
   for (auto& th : pool) th.join();
   delete counter;
+  return 0;
+}
+
+// Raw-u8 wire variant of augment_batch (single-threaded: the per-sample
+// cost without decode/normalize is small; callers parallelize samples).
+int augment_batch_raw(
+    const uint8_t** images, const int32_t** labels,
+    const int32_t* heights, const int32_t* widths,
+    const int32_t* resize_h, const int32_t* resize_w,
+    const int32_t* crop_y, const int32_t* crop_x,
+    const int32_t* flips, const int32_t* label_fills,
+    int batch, int crop_size,
+    uint8_t* out_images_u8, int16_t* out_labels_i16) {
+  for (int i = 0; i < batch; ++i) {
+    AugmentJob j{
+        images[i], labels ? labels[i] : nullptr,
+        heights[i], widths[i], resize_h[i], resize_w[i],
+        crop_y[i], crop_x[i], crop_size, flips[i], label_fills[i],
+        nullptr, nullptr,
+        out_images_u8 + (size_t)i * crop_size * crop_size * 3,
+        out_labels_i16 + (size_t)i * crop_size * crop_size};
+    run_job(j);
+  }
   return 0;
 }
 

@@ -110,24 +110,31 @@ class SSLBase(object):
         self.state = parallel.replicate(state, self.ctx.mesh)
         self._steps_per_dispatch = max(
             1, getattr(self.args, 'steps_per_dispatch', 1) or 1)
+        # task device_prep runs INSIDE every jitted step (wire-format
+        # mapping, e.g. --u8-transfer normalize-on-device; identity by
+        # default) — one wrapper here instead of one per algorithm
+        step_fn = self._prepped_step_fn
         if self.ctx.axis_name is None and parallel.is_spatial_mesh(self.ctx.mesh):
             # --spatial-train: GSPMD auto-partitioning over the 2-D
             # ('data','spatial') mesh — the step sees the GLOBAL batch and
             # XLA derives the collectives (parallel/spatial.py)
             self._train_step = parallel.gspmd_train_step(
-                self._step_fn, self.ctx.mesh)
+                step_fn, self.ctx.mesh)
             if self._steps_per_dispatch > 1:
                 self._multi_step = parallel.gspmd_multi_step(
-                    self._step_fn, self.ctx.mesh, self._steps_per_dispatch)
+                    step_fn, self.ctx.mesh, self._steps_per_dispatch)
         else:
             self._train_step = parallel.parallel_step(
-                self._step_fn, self.ctx.mesh, self.ctx.axis_name)
+                step_fn, self.ctx.mesh, self.ctx.axis_name)
             if self._steps_per_dispatch > 1:
                 self._multi_step = parallel.parallel_multi_step(
-                    self._step_fn, self.ctx.mesh, self._steps_per_dispatch,
+                    step_fn, self.ctx.mesh, self._steps_per_dispatch,
                     self.ctx.axis_name)
         self._eval_step = self._make_eval_step()
         return self.state
+
+    def _prepped_step_fn(self, state, batch):
+        return self._step_fn(state, self.ctx.task_func.device_prep(batch))
 
     def _build_state(self, rng):
         raise NotImplementedError
@@ -152,8 +159,12 @@ class SSLBase(object):
         # Inputs arrive explicitly placed (batch-sharded by the loader, or
         # H-axis sharded under --spatial-val) and state is replicated, so
         # jit honors the committed shardings and GSPMD partitions the rest
-        # (incl. conv halo exchanges in spatial mode).
-        return jax.jit(self._eval_fn)
+        # (incl. conv halo exchanges in spatial mode). device_prep runs
+        # first so train-batch visualization under --u8-transfer sees
+        # normalized floats like the val path.
+        def eval_fn(state, batch):
+            return self._eval_fn(state, self.ctx.task_func.device_prep(batch))
+        return jax.jit(eval_fn)
 
     # ------------------------------------------------------------------
     # helpers shared by all algorithm step functions
@@ -237,17 +248,20 @@ class SSLBase(object):
                     idx % max(1, args.visual_freq) == 0):
                 # extra eval forward only at visual_freq cadence
                 # (reference visualizes from the train forward itself,
-                # e.g. ssl_null.py:224-229)
-                outputs = self._eval_step(self.state, batch)
+                # e.g. ssl_null.py:224-229); device_prep maps wire-format
+                # batches (u8 mode) for the debug forwards — idempotent
+                # for the normal float path
+                vis_batch = self.ctx.task_func.device_prep(batch)
+                outputs = self._eval_step(self.state, vis_batch)
                 out = os.path.join(args.visual_train_path,
                                    '{0}_{1}'.format(epoch, idx))
                 for model_id, (activated_pred, _) in outputs.items():
                     self.ctx.task_func.visualize(
                         out, id_str=model_id,
-                        inp=tuple(a[:1] for a in batch['inp']),
+                        inp=tuple(a[:1] for a in vis_batch['inp']),
                         pred=tuple(a[:1] for a in activated_pred),
-                        gt=tuple(a[:1] for a in batch['gt']))
-                self._debug_visualize(batch, out)
+                        gt=tuple(a[:1] for a in vis_batch['gt']))
+                self._debug_visualize(vis_batch, out)
             if (idx + 1) % args.log_freq == 0 or idx == n_batches - 1:
                 # device sync only at log boundaries — keeps the step
                 # pipeline free of per-iteration host round-trips
@@ -341,16 +355,17 @@ class SSLBase(object):
                     # sliced on device (keeps shardings); `stacked` is
                     # still alive here
                     last_batch = jax.tree.map(lambda x: x[-1], stacked)
-                outputs = self._eval_step(self.state, last_batch)
+                vis_batch = self.ctx.task_func.device_prep(last_batch)
+                outputs = self._eval_step(self.state, vis_batch)
                 out = os.path.join(args.visual_train_path,
                                    '{0}_{1}'.format(epoch, done))
                 for model_id, (activated_pred, _) in outputs.items():
                     self.ctx.task_func.visualize(
                         out, id_str=model_id,
-                        inp=tuple(a[:1] for a in last_batch['inp']),
+                        inp=tuple(a[:1] for a in vis_batch['inp']),
                         pred=tuple(a[:1] for a in activated_pred),
-                        gt=tuple(a[:1] for a in last_batch['gt']))
-                self._debug_visualize(last_batch, out)
+                        gt=tuple(a[:1] for a in vis_batch['gt']))
+                self._debug_visualize(vis_batch, out)
             if done % max(args.log_freq, n) < n or done >= n_batches:
                 self._log_train_metrics(epoch, done, n_batches, metrics)
         prof.close(self.state)

@@ -26,6 +26,17 @@ class TaskFunc(object):
     # generic
     # ------------------------------------------------------------------
 
+    def device_prep(self, batch):
+        """Map a freshly-transferred batch to the dtypes/space the task
+        math expects, INSIDE the jitted step (TPU build addition: the
+        reference normalizes on the CPU host, data.py:99; moving it here
+        lets the host ship compact wire formats like uint8 RGB + int16
+        labels — see --u8-transfer). Runs under jit at the top of every
+        train/eval step (ssl_algorithm/ssl_base.build), so it must be
+        pure and cheap; XLA fuses it into the first consumer. Identity by
+        default."""
+        return batch
+
     def metrics(self, pred, gt, inp, meters, id_str=''):
         """Accumulate task metrics into ``meters`` (reference func.py:42-56).
 

@@ -49,6 +49,13 @@ def add_parser_arguments(parser):
                              'augmentation still runs per access). Costs '
                              '~H*W*7 bytes per train image; pairs with '
                              '--native-augment to feed few-core hosts')
+    parser.add_argument('--u8-transfer',
+                        type=cmd.str2bool,
+                        default=False,
+                        help='sseg - emit train batches as raw uint8 RGB + '
+                             'int16 labels (3.2x fewer host->device bytes; '
+                             'pixels quantized to 1/255) and normalize on '
+                             'device via the task device_prep hook')
 
 
 def pascal_voc_aug():
@@ -161,6 +168,10 @@ class PascalVocDataset(data_template.TaskDataset):
         self._decoded_cache = ({} if is_train and
                                getattr(args, 'decoded_cache', False)
                                else None)
+        # u8 wire mode: train samples leave the host as uint8 RGB + int16
+        # labels; tasks/sseg/func.device_prep normalizes inside the jitted
+        # step. Val samples stay float32 (tiny fraction of the traffic).
+        self._u8 = bool(is_train and getattr(args, 'u8_transfer', False))
         if getattr(args, 'native_augment', False):
             from ...nn import native
             self._use_native = native.decode_available()
@@ -168,6 +179,11 @@ class PascalVocDataset(data_template.TaskDataset):
                 logger.log_warn('--native-augment set but the library is not '
                                 'built (make -C pixelssl_tpu/native); '
                                 'falling back to PIL')
+            elif self._u8 and not native.raw_available():
+                logger.log_warn('--u8-transfer: native lib lacks the raw '
+                                'exports; rebuild with make -C '
+                                'pixelssl_tpu/native (using PIL u8 path)')
+                self._use_native = False
 
     def _geometry(self, rng, h, w):
         """Random scale-crop-flip parameters — the same draw order and
@@ -227,9 +243,10 @@ class PascalVocDataset(data_template.TaskDataset):
                 return None  # unreadable file → PIL fallback error path
             resize_hw, crop_yx, flip = self._geometry(
                 rng, img.shape[0], img.shape[1])
-            out_im, out_lb = native.augment_batch(
-                [img], [lbl], [resize_hw], [crop_yx], [flip], [fill],
-                self.im_size, n_threads=1)
+            aug = (native.augment_batch_raw if self._u8 else
+                   lambda *a: native.augment_batch(*a, n_threads=1))
+            out_im, out_lb = aug([img], [lbl], [resize_hw], [crop_yx],
+                                 [flip], [fill], self.im_size)
             return (out_im[0],), (out_lb[0],)
         dims = self._dims_cache.get(idx)
         if dims is None:
@@ -241,9 +258,10 @@ class PascalVocDataset(data_template.TaskDataset):
                 self._dims_cache[idx] = dims
         h, w = dims
         resize_hw, crop_yx, flip = self._geometry(rng, h, w)
-        out = native.decode_augment_sample(
-            img_path, label_path, resize_hw, crop_yx, flip, fill,
-            self.im_size)
+        decode = (native.decode_augment_sample_raw if self._u8
+                  else native.decode_augment_sample)
+        out = decode(img_path, label_path, resize_hw, crop_yx, flip, fill,
+                     self.im_size)
         if out is None:
             return None
         return (out[0],), (out[1],)
@@ -283,6 +301,15 @@ class PascalVocDataset(data_template.TaskDataset):
             if rng.random() < 0.5:
                 image = image.transpose(Image.FLIP_LEFT_RIGHT)
                 lbl = lbl.transpose(Image.FLIP_LEFT_RIGHT)
+            if self._u8:
+                # u8 wire mode: raw RGB + int16 labels; normalization runs
+                # on device (tasks/sseg/func.device_prep)
+                img = np.asarray(image, dtype=np.uint8)
+                if has_label:
+                    gt = np.asarray(lbl, dtype=np.int16)
+                else:
+                    gt = np.full(img.shape[:2], -1, dtype=np.int16)
+                return (img,), (gt,)
             img = normalize_image(image)
             if has_label:
                 gt = np.asarray(lbl, dtype=np.int32)

@@ -21,6 +21,7 @@ from ...nn.module import gaussian_blur
 from ...ops import confusion_matrix, scores_from_confusion
 from ...task_template import func_template
 from ...utils import logger
+from . import data
 
 
 def add_parser_arguments(parser):
@@ -43,6 +44,25 @@ class SemanticSegmentationFunc(func_template.TaskFunc):
         self._colorize = VOCColorize(args.num_classes + 1)
 
     # ------------------------------------------------------------------
+
+    def device_prep(self, batch):
+        """u8 wire mode (--u8-transfer): normalize uint8 RGB on device
+        with the same VOC mean/std the host path uses (data.py
+        normalize_image) and widen int16 labels to int32. Identity for
+        float32 batches, so algorithms never see mixed conventions."""
+        inp, gt = batch['inp'], batch['gt']
+        x = inp[0]
+        if x.dtype == jnp.uint8:
+            mean = jnp.asarray(data.VOC_MEAN, jnp.float32)
+            std = jnp.asarray(data.VOC_STD, jnp.float32)
+            x = (x.astype(jnp.float32) / 255.0 - mean) / std
+            inp = (x,) + tuple(inp[1:])
+        g = gt[0]
+        if g.dtype in (jnp.int16, jnp.int8, jnp.uint8):
+            gt = (g.astype(jnp.int32),) + tuple(gt[1:])
+        if inp is batch['inp'] and gt is batch['gt']:
+            return batch
+        return dict(batch, inp=inp, gt=gt)
 
     def metrics(self, pred, gt, inp, meters, id_str=''):
         """Accumulate the confusion matrix; metric meters always hold the
@@ -79,7 +99,11 @@ class SemanticSegmentationFunc(func_template.TaskFunc):
         std = np.array([0.229, 0.224, 0.225])
 
         if inp is not None:
-            im = _unbatch(inp[0]) * std + mean
+            im = _unbatch(inp[0])
+            if im.dtype == np.uint8:   # --u8-transfer: raw RGB wire format
+                im = im / 255.0
+            else:
+                im = im * std + mean
             im = np.clip(im, 0, 1)
             Image.fromarray((im * 255).astype('uint8')).save(
                 out_path + '_{0}1-inp.png'.format(id_str))

@@ -57,6 +57,9 @@ def main():
     p.add_argument('--decoded-cache', type=int, default=0,
                    help='cache decoded images in RAM (--decoded-cache '
                         'flag): decode once, augment per access')
+    p.add_argument('--u8', type=int, default=0,
+                   help='u8 wire mode (--u8-transfer): uint8 RGB + int16 '
+                        'labels over the link, normalize on device')
     p.add_argument('--keep-dir', default='')
     opts = p.parse_args()
 
@@ -100,6 +103,7 @@ def main():
             ('num_workers', opts.workers),
             ('native_augment', bool(opts.native)),
             ('decoded_cache', bool(opts.decoded_cache)),
+            ('u8_transfer', bool(opts.u8)),
             ('steps_per_dispatch', opts.dispatch),
             ('models', {'model': 'deeplabv2'}),
             ('optimizers', {'model': 'sgd'}),
@@ -155,6 +159,7 @@ def main():
             'workers': opts.workers,
             'native_augment': bool(opts.native),
             'decoded_cache': bool(opts.decoded_cache),
+            'u8_transfer': bool(opts.u8),
             'steps_per_dispatch': opts.dispatch,
         }), flush=True)
     finally:
