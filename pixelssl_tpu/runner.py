@@ -21,8 +21,13 @@ def create_parser(ssl_algorithm_name):
     return parser
 
 
-def run_script(config, proxy_module, proxy_class, mesh=None):
-    if '--help' in sys.argv or '-h' in sys.argv:
+def run_script(config, proxy_module, proxy_class, mesh=None,
+               cli_override=True):
+    """``cli_override``: experiment scripts keep the reference behavior
+    (real argv overrides config keys); wrapper tools with their own CLIs
+    pass ``False`` so their flags don't leak into this parser
+    (utils/cmd.parse_args)."""
+    if cli_override and ('--help' in sys.argv or '-h' in sys.argv):
         parser = create_parser(config.get('ssl_algorithm', 'ssl_null'))
         proxy_module.add_parser_arguments(parser)
         parser.parse_args()
@@ -34,7 +39,7 @@ def run_script(config, proxy_module, proxy_class, mesh=None):
 
     parser = create_parser(algo)
     proxy_module.add_parser_arguments(parser)
-    args = cmd.parse_args(parser, config)
+    args = cmd.parse_args(parser, config, cli_override=cli_override)
     cmd.print_args(args)
 
     task_proxy = proxy_class(args, mesh=mesh) if mesh is not None else proxy_class(args)

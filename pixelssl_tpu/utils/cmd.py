@@ -15,16 +15,25 @@ import yaml
 from . import logger
 
 
-def parse_args(parser, config=None):
-    """Convert a config dict into argv strings and parse (cmd.py:10-27)."""
+def parse_args(parser, config=None, cli_override=True):
+    """Convert a config dict into argv strings and parse (cmd.py:10-27).
+
+    ``cli_override=True`` (the reference behavior for experiment scripts)
+    appends the process's real ``sys.argv`` so any config key can be
+    overridden from the command line. Wrapper TOOLS with their own CLIs
+    (benchmarks, sweep drivers) must pass ``False`` — otherwise their own
+    flags leak into this parser, where argparse prefix-matching can
+    silently rebind lookalikes (measured: a tool's ``--steps`` would set
+    ``--steps-per-dispatch``) or hard-error on ambiguous prefixes."""
     argv = []
     if config is not None:
         for key, value in config.items():
             flag = '--' + str(key).replace('_', '-')
             argv.append(flag)
             argv.append(str(value))
-    # real command-line arguments override config entries
-    argv += sys.argv[1:]
+    if cli_override:
+        # real command-line arguments override config entries
+        argv += sys.argv[1:]
     args, unknown = parser.parse_known_args(argv)
     for token in unknown:
         if token.startswith('--'):

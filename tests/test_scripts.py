@@ -59,3 +59,33 @@ def test_script_config_parses(script, monkeypatch):
 
 def test_all_17_scripts_present():
     assert len(SCRIPTS) == 17
+
+
+def test_cli_override_opt_out(monkeypatch):
+    """Wrapper tools (ssl_gain_bench, e2e_tpu_bench) run run_script with
+    cli_override=False so their OWN CLI flags don't leak into the
+    framework parser, where argparse prefix-matching can silently rebind
+    lookalikes (a tool's --steps would set --steps-per-dispatch) or
+    hard-error on ambiguous prefixes (--out vs --out-path/--output-stride)."""
+    import sys
+
+    from pixelssl_tpu import runner
+    from pixelssl_tpu.tasks import sseg
+    from pixelssl_tpu.utils import cmd
+
+    parser = runner.create_parser('ssl_null')
+    sseg.add_parser_arguments(parser)
+    cfg = {'lr': 0.5, 'steps_per_dispatch': 2}
+
+    # tool-style argv: would be ambiguous / rebound if merged
+    monkeypatch.setattr(sys, 'argv',
+                        ['tool.py', 'run', 'ssl_null', '--out', '/x',
+                         '--steps', '800', '--lr', '0.007'])
+    args = cmd.parse_args(parser, cfg, cli_override=False)
+    assert args.lr == 0.5
+    assert args.steps_per_dispatch == 2
+
+    # experiment-script behavior (default): real argv overrides config
+    monkeypatch.setattr(sys, 'argv', ['script.py', '--lr', '0.007'])
+    args2 = cmd.parse_args(parser, cfg)
+    assert args2.lr == 0.007

@@ -128,7 +128,8 @@ def main():
             ('ema_decay', 0.999),
             ('gaussian_noise_std', 0.1),
         ])
-        pixelssl.run_script(config, sseg, sseg.SemanticSegmentationProxy)
+        pixelssl.run_script(config, sseg, sseg.SemanticSegmentationProxy,
+                            cli_override=False)  # this tool has its own CLI
 
         # aggregate the proxy's per-epoch summaries
         jsonl = None

@@ -262,7 +262,8 @@ def run_one(opts):
     config.update(deltas)
 
     t0 = time.time()
-    pixelssl_tpu.run_script(config, sseg, sseg.SemanticSegmentationProxy)
+    pixelssl_tpu.run_script(config, sseg, sseg.SemanticSegmentationProxy,
+                            cli_override=False)  # this tool has its own CLI
     wall = time.time() - t0
 
     # harvest held-out mIoU from the run's metrics.jsonl
