@@ -82,40 +82,72 @@ def _shape_points(cls, r, theta, rng):
     return pts
 
 
+def _class_color(cls, rng):
+    """Class-correlated but AMBIGUOUS color: each class owns a hue band
+    centered at (cls-1)/5 with jitter wide enough that neighboring bands
+    overlap (band spacing 0.2, jitter +-0.13). Color alone classifies
+    most pixels but systematically confuses neighbor classes; geometry
+    resolves the overlap zone. That split — an easy cue that saturates
+    and a hard cue that needs more data — is the regime where
+    consistency SSL has headroom over few-label supervised training."""
+    import colorsys
+    hue = ((cls - 1) / 5.0 + float(rng.uniform(-0.13, 0.13))) % 1.0
+    sat = float(rng.uniform(0.55, 1.0))
+    val = float(rng.uniform(0.55, 1.0))
+    return np.array(colorsys.hsv_to_rgb(hue, sat, val), np.float32) * 255.0
+
+
 def _make_scene(rng, size):
-    """One (image float, label uint8) scene."""
+    """One (image float, label uint8) scene.
+
+    Earlier designs failed two ways (measured, /tmp/gain_pilot.jsonl):
+    fully class-independent shape colors made geometry the ONLY class
+    cue, and 5-9 mutually overlapping shapes occluded that geometry —
+    from-scratch runs plateaued at the marginal-distribution loss (~1.4)
+    and collapsed to all-background mIoU. Now shapes are non-overlapping
+    (rejection-sampled placement), fully in bounds, and hue-banded per
+    class (see _class_color); the background is desaturated so
+    figure-ground is locally learnable."""
     from PIL import Image, ImageDraw
 
-    # low-frequency colored background texture
-    grid = rng.integers(25, 231, (6, 6, 3)).astype(np.uint8)
-    bg = Image.fromarray(grid).resize((size, size), Image.BILINEAR)
+    # low-frequency DESATURATED background: gray base + small color wobble
+    base = rng.uniform(60, 180)
+    grid = np.clip(base + rng.uniform(-35, 35, (6, 6, 3)), 0, 255)
+    bg = Image.fromarray(grid.astype(np.uint8)).resize(
+        (size, size), Image.BILINEAR)
     img = np.asarray(bg, np.float32).copy()
     lbl = np.zeros((size, size), np.uint8)
 
-    for _ in range(int(rng.integers(3, 7))):
+    occupied = np.zeros((size, size), bool)
+    placed = 0
+    for _attempt in range(40):
+        if placed >= 6:
+            break
         cls = int(rng.integers(1, NUM_CLASSES))
-        r = float(rng.uniform(0.07, 0.20)) * size
-        cx = float(rng.uniform(r * 0.6, size - r * 0.6))
-        cy = float(rng.uniform(r * 0.6, size - r * 0.6))
+        r = float(rng.uniform(0.09, 0.17)) * size
+        # fully in bounds so the class geometry is never clipped at birth
+        cx = float(rng.uniform(r * 1.05, size - r * 1.05))
+        cy = float(rng.uniform(r * 1.05, size - r * 1.05))
         theta = float(rng.uniform(0, 2 * np.pi))
         pts = _shape_points(cls, r, theta, rng) + np.array([cx, cy])
         canvas = Image.new('L', (size, size), 0)
-        ImageDraw.Draw(canvas).polygon(
-            [tuple(p) for p in pts], fill=1)
+        ImageDraw.Draw(canvas).polygon([tuple(p) for p in pts], fill=1)
         m = np.asarray(canvas, bool)
-        if not m.any():
-            continue
-        color = rng.uniform(15.0, 240.0, 3).astype(np.float32)
+        if not m.any() or (m & occupied).any():
+            continue  # rejection sampling: shapes never occlude each other
+        color = _class_color(cls, rng)
         # mild linear shading so shapes are not flat color blobs
         yy = (np.arange(size, dtype=np.float32)[:, None] - cy) / max(r, 1.0)
         shade = np.broadcast_to(1.0 + 0.15 * np.clip(yy, -1.5, 1.5),
                                 (size, size))
         img[m] = color[None, :] * shade[m][:, None]
         lbl[m] = cls
+        occupied |= m
+        placed += 1
 
-    gain = float(rng.uniform(0.65, 1.35))
-    bias = float(rng.uniform(-18.0, 18.0))
-    img = img * gain + bias + rng.normal(0.0, 7.0, img.shape)
+    gain = float(rng.uniform(0.8, 1.2))
+    bias = float(rng.uniform(-12.0, 12.0))
+    img = img * gain + bias + rng.normal(0.0, 6.0, img.shape)
     return np.clip(img, 0, 255).astype(np.uint8), lbl
 
 
@@ -243,7 +275,7 @@ def run_one(opts):
         ('lr', opts.lr),
         ('momentum', 0.9),
         ('weight_decay', 0.0005),
-        ('output_stride', 16),
+        ('output_stride', opts.os),
         ('backbone', opts.backbone),
         ('im_size', opts.im),
         ('train_base_size', opts.scene),
@@ -355,6 +387,10 @@ def main():
     r.add_argument('--scene', type=int, default=256,
                    help='train_base_size (the generated scene size)')
     r.add_argument('--backbone', default='resnet50')
+    r.add_argument('--os', type=int, default=16,
+                   help='output stride: 8 keeps a usable ASPP grid at '
+                        'small im sizes (an 8x8 OS16 map at im 128 '
+                        'starves the dilation-24 branch)')
     r.add_argument('--workers', type=int, default=4)
     r.add_argument('--dispatch', type=int, default=8)
     r.add_argument('--vals', type=int, default=10,
