@@ -249,7 +249,8 @@ def run_one(opts):
     iters, epochs = _epoch_math(algo, n_train, opts.labeled, batch,
                                 unlabeled, opts.steps)
     val_freq = max(1, int(round(epochs / float(opts.vals))))
-    tag = 'gain_{0}_l{1}'.format(algo, opts.labeled)
+    tag = 'gain_{0}{1}_l{2}'.format(
+        algo, '_' + opts.tag if opts.tag else '', opts.labeled)
 
     config = collections.OrderedDict([
         ('exp_id', tag),
@@ -291,6 +292,15 @@ def run_one(opts):
     if algo in _RAMPUP_KEY:
         deltas.setdefault(_RAMPUP_KEY[algo],
                           max(1, int(round(0.3 * epochs))))
+    # --delta k=v pairs override the per-algorithm defaults (tuning runs;
+    # values parsed as python literals so floats/bools/tuples work)
+    import ast
+    for kv in opts.delta or ():
+        k, _, v = kv.partition('=')
+        try:
+            deltas[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            deltas[k] = v
     config.update(deltas)
 
     t0 = time.time()
@@ -323,13 +333,14 @@ def run_one(opts):
     best = max(best_of(r) for r in curve)
     final = best_of(curve[-1])
     result = dict(
-        algo=algo, labeled=opts.labeled, n_train=n_train,
+        algo=algo + ('/' + opts.tag if opts.tag else ''),
+        labeled=opts.labeled, n_train=n_train,
         steps_budget=opts.steps, iters_per_epoch=iters, epochs=epochs,
         batch=batch, unlabeled_batch=unlabeled, lr=opts.lr,
         backbone=opts.backbone, im=opts.im, seed=opts.seed,
         best_val_miou=round(float(best), 5),
         final_val_miou=round(float(final), 5),
-        wall_s=round(wall, 1), val_curve=curve)
+        wall_s=round(wall, 1), deltas=deltas, val_curve=curve)
     with open(opts.results, 'a') as f:
         f.write(json.dumps(result) + '\n')
     print(json.dumps({k: v for k, v in result.items() if k != 'val_curve'}))
@@ -350,14 +361,18 @@ def report(results_path):
         table[(r['labeled'], r['algo'], r.get('seed', 0))] = r
     base = {}
     for (lab, algo, seed), r in table.items():
-        if algo == 'ssl_null':
-            base[(lab, seed)] = r['best_val_miou']
+        name, _, tag = algo.partition('/')
+        if name == 'ssl_null':
+            base[(lab, seed, tag)] = r['best_val_miou']
     print('| labeled | algorithm | best val mIoU | final | vs SupOnly |')
     print('|---|---|---|---|---|')
     for (lab, algo, seed), r in sorted(table.items()):
-        b = base.get((lab, seed))
+        name, _, tag = algo.partition('/')
+        # tuned/tagged variants compare against the same-tag SupOnly run
+        # when one exists, else the untagged baseline at this (lab, seed)
+        b = base.get((lab, seed, tag), base.get((lab, seed, '')))
         delta = ('{0:+.2f}'.format(100 * (r['best_val_miou'] - b))
-                 if b is not None and algo != 'ssl_null' else '—')
+                 if b is not None and name != 'ssl_null' else '—')
         print('| {0} | {1} (seed {2}) | {3:.2f} | {4:.2f} | {5} |'.format(
             lab, algo, seed, 100 * r['best_val_miou'],
             100 * r['final_val_miou'], delta))
@@ -396,6 +411,11 @@ def main():
     r.add_argument('--vals', type=int, default=10,
                    help='target number of validation passes')
     r.add_argument('--seed', type=int, default=1)
+    r.add_argument('--delta', action='append', default=[],
+                   help='override an ALGO_DELTAS entry, e.g. '
+                        '--delta ema_decay=0.95 (repeatable)')
+    r.add_argument('--tag', default='',
+                   help='suffix for the report row (tuned variants)')
     r.add_argument('--out', default='')
     r.add_argument('--results',
                    default=os.path.join(_HERE, 'ssl_gain_results.jsonl'))
