@@ -53,9 +53,11 @@ def add_parser_arguments(parser):
                         type=cmd.str2bool,
                         default=False,
                         help='sseg - emit train batches as raw uint8 RGB + '
-                             'int16 labels (3.2x fewer host->device bytes; '
-                             'pixels quantized to 1/255) and normalize on '
-                             'device via the task device_prep hook')
+                             'uint8 labels (4x fewer host->device bytes; '
+                             'pixels quantized to 1/255; labels widen to '
+                             'int16 if num_classes > 254 or ignore_index '
+                             '!= 255) and normalize on device via the task '
+                             'device_prep hook')
 
 
 def pascal_voc_aug():
@@ -168,10 +170,23 @@ class PascalVocDataset(data_template.TaskDataset):
         self._decoded_cache = ({} if is_train and
                                getattr(args, 'decoded_cache', False)
                                else None)
-        # u8 wire mode: train samples leave the host as uint8 RGB + int16
+        # u8 wire mode: train samples leave the host as uint8 RGB + narrow
         # labels; tasks/sseg/func.device_prep normalizes inside the jitted
         # step. Val samples stay float32 (tiny fraction of the traffic).
         self._u8 = bool(is_train and getattr(args, 'u8_transfer', False))
+        # Labels ride uint8 (not int16) when every value fits a byte:
+        # classes <= 254, the VOC void byte (255) kept as-is, and the
+        # unlabeled -1 sentinel (reference task/sseg/data.py:104-105)
+        # wrapped to 255 by the cast. Every gt consumer treats -1 and 255
+        # identically — the criterion/confusion mask is
+        # (gt >= 0) & (gt < C) & (gt != ignore_index) and the one_hot
+        # hooks zero out-of-range rows — so the wire encoding is lossless
+        # in effect while halving label bytes (labels were 40% of the u8
+        # dispatch payload; the ingest wall is byte-proportional,
+        # BASELINE.md).
+        self._u8_lbl = (self._u8 and
+                        getattr(args, 'ignore_index', 255) == 255 and
+                        getattr(args, 'num_classes', 256) <= 254)
         if getattr(args, 'native_augment', False):
             from ...nn import native
             self._use_native = native.decode_available()
@@ -247,7 +262,10 @@ class PascalVocDataset(data_template.TaskDataset):
                    lambda *a: native.augment_batch(*a, n_threads=1))
             out_im, out_lb = aug([img], [lbl], [resize_hw], [crop_yx],
                                  [flip], [fill], self.im_size)
-            return (out_im[0],), (out_lb[0],)
+            lb = out_lb[0]
+            if self._u8_lbl and lb.dtype == np.int16:
+                lb = lb.astype(np.uint8)  # -1 sentinel wraps to 255 (void)
+            return (out_im[0],), (lb,)
         dims = self._dims_cache.get(idx)
         if dims is None:
             try:
@@ -264,7 +282,10 @@ class PascalVocDataset(data_template.TaskDataset):
                      self.im_size)
         if out is None:
             return None
-        return (out[0],), (out[1],)
+        lb = out[1]
+        if self._u8_lbl and lb.dtype == np.int16:
+            lb = lb.astype(np.uint8)  # -1 sentinel wraps to 255 (void)
+        return (out[0],), (lb,)
 
     def __getitem__(self, idx):
         name = self.sample_list[idx]
@@ -302,13 +323,15 @@ class PascalVocDataset(data_template.TaskDataset):
                 image = image.transpose(Image.FLIP_LEFT_RIGHT)
                 lbl = lbl.transpose(Image.FLIP_LEFT_RIGHT)
             if self._u8:
-                # u8 wire mode: raw RGB + int16 labels; normalization runs
+                # u8 wire mode: raw RGB + narrow labels; normalization runs
                 # on device (tasks/sseg/func.device_prep)
                 img = np.asarray(image, dtype=np.uint8)
+                ldt = np.uint8 if self._u8_lbl else np.int16
                 if has_label:
-                    gt = np.asarray(lbl, dtype=np.int16)
+                    gt = np.asarray(lbl, dtype=np.int16).astype(ldt)
                 else:
-                    gt = np.full(img.shape[:2], -1, dtype=np.int16)
+                    # -1 sentinel; wraps to 255 (void) under uint8
+                    gt = np.full(img.shape[:2], -1, np.int16).astype(ldt)
                 return (img,), (gt,)
             img = normalize_image(image)
             if has_label:

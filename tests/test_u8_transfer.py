@@ -93,6 +93,49 @@ def test_device_prep_matches_host_normalize():
     assert fn.device_prep(fbatch) is fbatch
 
 
+def test_u8_label_narrowing(tmp_path):
+    """Labels ride uint8 when they fit a byte (num_classes <= 254,
+    ignore_index 255): values identical to the int16 wire, the unlabeled
+    -1 sentinel wraps to 255 (void — every consumer masks it identically
+    to -1), and the encoding falls back to int16 when a task's label
+    space does not fit."""
+    root = tmp_path / 'voc'
+    _make_voc(root, n=4)
+
+    def mkds(**over):
+        args = argparse.Namespace(
+            im_size=32, train_base_size=40, val_rescaling=True,
+            trainset={'pascal_voc_aug': [str(root)]},
+            valset={'pascal_voc_aug': [str(root)]},
+            num_classes=5, ignore_index=255, seed=3,
+            u8_transfer=True, native_augment=False, decoded_cache=False)
+        for k, v in over.items():
+            setattr(args, k, v)
+        return sseg_data.PascalVocAugDataset(args, is_train=True)
+
+    ds = mkds()
+    assert ds._u8_lbl
+    (img, ), (gt, ) = ds[0]
+    assert img.dtype == np.uint8 and gt.dtype == np.uint8
+
+    # same sample through the int16 wire (same rng stream: fresh dataset,
+    # access count 0 for idx 0) — byte-exact label values
+    ds16 = mkds(num_classes=300)   # forces the int16 fallback
+    assert not ds16._u8_lbl
+    (img16, ), (gt16, ) = ds16[0]
+    np.testing.assert_array_equal(gt.astype(np.int32), gt16.astype(np.int32))
+    np.testing.assert_array_equal(img, img16)
+
+    # unlabeled samples: -1 sentinel wraps to 255 under uint8
+    ds_u = mkds()
+    ds_u.is_unlabeled = lambda idx: True
+    (_, ), (gt_u, ) = ds_u[0]
+    assert gt_u.dtype == np.uint8 and np.all(gt_u == 255)
+
+    # non-255 ignore_index keeps the int16 wire (255 would alias it)
+    assert not mkds(ignore_index=254)._u8_lbl
+
+
 def _cfg(tmp_path, root, exp_id, **over):
     c = collections.OrderedDict([
         ('exp_id', exp_id),
@@ -159,7 +202,8 @@ def test_u8_run_script_tracks_float_pipeline(tmp_path):
     base = getattr(ds, 'dataset', ds)
     assert base._u8
     (u8_img,), (u8_gt,) = base[0]
-    assert u8_img.dtype == np.uint8 and u8_gt.dtype == np.int16
+    # labels narrow to uint8 here (num_classes 5 <= 254, ignore 255)
+    assert u8_img.dtype == np.uint8 and u8_gt.dtype == np.uint8
 
     s_f, s_u = p_f.ssl_algorithm.state, p_u.ssl_algorithm.state
     assert int(np.asarray(s_f['step'])) == int(np.asarray(s_u['step'])) == 3

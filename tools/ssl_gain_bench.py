@@ -268,6 +268,8 @@ def run_one(opts):
         ('sublabeled_path', sub),
         ('num_workers', opts.workers),
         ('native_augment', True),
+        ('decoded_cache', bool(opts.cache)),
+        ('u8_transfer', bool(opts.u8)),
         ('steps_per_dispatch', opts.dispatch),
         ('models', {'model': 'deeplabv2'}),
         ('optimizers', {'model': 'sgd'}),
@@ -407,6 +409,12 @@ def main():
                         'small im sizes (an 8x8 OS16 map at im 128 '
                         'starves the dilation-24 branch)')
     r.add_argument('--workers', type=int, default=4)
+    r.add_argument('--u8', type=int, default=1,
+                   help='--u8-transfer wire format (semantics-equal, '
+                        'tests/test_u8_transfer.py; the tunnel host is '
+                        'ingest-byte-bound, BASELINE.md)')
+    r.add_argument('--cache', type=int, default=1,
+                   help='--decoded-cache (decode once, augment per access)')
     r.add_argument('--dispatch', type=int, default=8)
     r.add_argument('--vals', type=int, default=10,
                    help='target number of validation passes')
