@@ -1,6 +1,7 @@
 from .mesh import (DATA_AXIS, make_mesh, replicate, shard_batch,
                    reorder_two_stream, reorder_two_stream_steps,
-                   shard_step_chunk, pmean_if_parallel, psum_if_parallel,
+                   shard_step_chunk, touch_tree,
+                   pmean_if_parallel, psum_if_parallel,
                    fold_rng, parallel_step, parallel_eval_step,
                    parallel_multi_step, batch_sharding, replicate_sharding)
 from . import multihost

@@ -104,6 +104,36 @@ def shard_step_chunk(tree, mesh, axis_name=DATA_AXIS):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+_TOUCH_FN = None
+
+
+def touch_tree(tree):
+    """Force lazy host→device transfers to materialize NOW, and block.
+
+    On the tunnel-attached runtime ``device_put`` is lazy: the bytes move
+    when a compiled program first CONSUMES the buffer (~30-50 MB/s
+    effective), not at put time — measured in BASELINE.md's ingest probes
+    (``tools/dispatch_overhead_probe.py`` variants A-E). Left alone, that
+    serializes the whole transfer into the next train dispatch. Running a
+    trivial consuming reduction here — from the loader thread, right
+    after the put — moves the materialization into the loader thread,
+    where it overlaps the previous dispatch's device compute.
+
+    On runtimes with eager puts (PCIe-attached hosts, CPU) this is one
+    cheap extra scalar-per-leaf dispatch. Returns ``tree`` unchanged.
+    """
+    global _TOUCH_FN
+    if _TOUCH_FN is None:
+        # sum-reduce every leaf to a scalar: guarantees the full buffer is
+        # consumed (a single-element slice might legally fetch less), and
+        # is negligible device work at any batch size
+        _TOUCH_FN = jax.jit(
+            lambda leaves: [l.astype(jax.numpy.float32).sum()
+                            for l in leaves])
+    jax.block_until_ready(_TOUCH_FN(jax.tree.leaves(tree)))
+    return tree
+
+
 def pmean_if_parallel(tree, axis_name):
     if axis_name is None:
         return tree

@@ -53,6 +53,14 @@ def add_parser_arguments(parser):
     parser.add_argument('--steps-per-dispatch', type=int, default=1, metavar='',
                         help='exp - train steps fused per device dispatch via '
                              'lax.scan (TPU build addition; hides host latency)')
+    parser.add_argument('--eager-ingest', type=cmd.str2bool, default=False, metavar='',
+                        help='exp - materialize each train batch\'s '
+                             'host->device transfer in the loader thread (a '
+                             'tiny consuming reduction + block). On runtimes '
+                             'with lazy device_put (the tunnel-attached dev '
+                             'host, BASELINE.md ingest probes) this overlaps '
+                             'ingest with the previous dispatch\'s compute '
+                             '(TPU build addition)')
     parser.add_argument('--spatial-val', type=cmd.str2bool, default=False, metavar='',
                         help='exp - shard each validation image\'s height over '
                              'the mesh (GSPMD halo exchange; for images too '
@@ -377,9 +385,10 @@ class TaskProxy(object):
                              if n_steps > 1 else None)
                 self.train_loader = nnloader.DataLoader(
                     trainset, sampler, num_workers=args.num_workers,
-                    device_put_fn=self._make_train_put_fn(lbs, ubs, n_dev),
+                    device_put_fn=self._eager_ingest(
+                        self._make_train_put_fn(lbs, ubs, n_dev)),
                     chunk_steps=n_steps if chunk_put is not None else 1,
-                    chunk_put_fn=chunk_put)
+                    chunk_put_fn=self._eager_ingest(chunk_put))
 
         # validation loader: mesh-sized batches, ignore-padded tail
         valset_num = sum(len(v) for v in args.valset.values())
@@ -412,6 +421,17 @@ class TaskProxy(object):
         logger.log_info('Dataset: train labeled={0} unlabeled={1} val={2}'.format(
             labeled_train_samples, unlabeled_train_samples,
             len(valset) if valset is not None else 0))
+
+    def _eager_ingest(self, put):
+        """--eager-ingest: force the transfer behind ``put`` to
+        materialize in the calling (loader) thread — see
+        parallel.touch_tree."""
+        if put is None or not getattr(self.args, 'eager_ingest', False):
+            return put
+
+        def eager_put(np_batch):
+            return parallel.touch_tree(put(np_batch))
+        return eager_put
 
     def _make_train_put_fn(self, lbs, ubs, n_dev):
         mesh = self.mesh

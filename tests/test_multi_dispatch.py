@@ -80,6 +80,31 @@ def test_multi_dispatch_matches_single_step(tmp_path):
                                    rtol=1e-3, atol=5e-4)
 
 
+def test_eager_ingest_is_bitwise_identical(tmp_path):
+    """--eager-ingest only moves WHEN the transfer happens (a consuming
+    reduction in the loader thread, parallel.touch_tree); the train
+    program and its inputs are unchanged, so the run must be bit-identical
+    — in both the chunked and single-step dispatch paths."""
+    p1 = pixelssl_tpu.run_script(
+        _config(tmp_path, 'test_eager0', steps_per_dispatch=2),
+        sseg, sseg.SemanticSegmentationProxy)
+    p2 = pixelssl_tpu.run_script(
+        _config(tmp_path, 'test_eager1', steps_per_dispatch=2,
+                eager_ingest=True),
+        sseg, sseg.SemanticSegmentationProxy)
+    p3 = pixelssl_tpu.run_script(
+        _config(tmp_path, 'test_eager2', eager_ingest=True),
+        sseg, sseg.SemanticSegmentationProxy)
+
+    s1 = p1.ssl_algorithm.state
+    for p in (p2, p3):
+        s = p.ssl_algorithm.state
+        assert int(np.asarray(s['step'])) == int(np.asarray(s1['step'])) == 3
+    for a, b in zip(jax.tree.leaves(s1['model']['params']),
+                    jax.tree.leaves(p2.ssl_algorithm.state['model']['params'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_multi_dispatch_two_stream_matches_single_step(tmp_path):
     """Two-stream (ssl_mt) equivalence: exercises the chunked loader's
     reorder_two_stream_steps + shard_step_chunk path (parallel/mesh.py)
