@@ -58,8 +58,11 @@ def main():
                    help='cache decoded images in RAM (--decoded-cache '
                         'flag): decode once, augment per access')
     p.add_argument('--u8', type=int, default=0,
-                   help='u8 wire mode (--u8-transfer): uint8 RGB + int16 '
+                   help='u8 wire mode (--u8-transfer): uint8 RGB + uint8 '
                         'labels over the link, normalize on device')
+    p.add_argument('--eager', type=int, default=0,
+                   help='--eager-ingest: materialize the lazy device_put '
+                        'in the loader thread (parallel.touch_tree)')
     p.add_argument('--keep-dir', default='')
     opts = p.parse_args()
 
@@ -104,6 +107,7 @@ def main():
             ('native_augment', bool(opts.native)),
             ('decoded_cache', bool(opts.decoded_cache)),
             ('u8_transfer', bool(opts.u8)),
+            ('eager_ingest', bool(opts.eager)),
             ('steps_per_dispatch', opts.dispatch),
             ('models', {'model': 'deeplabv2'}),
             ('optimizers', {'model': 'sgd'}),
@@ -161,6 +165,7 @@ def main():
             'native_augment': bool(opts.native),
             'decoded_cache': bool(opts.decoded_cache),
             'u8_transfer': bool(opts.u8),
+            'eager_ingest': bool(opts.eager),
             'steps_per_dispatch': opts.dispatch,
         }), flush=True)
     finally:
