@@ -55,8 +55,47 @@ BATCH_PER_CHIP = 8          # total per chip; production point, BASELINE.md
 UNLABELED_PER_CHIP = 4
 
 
+def _wait_for_tunnel(max_attempts=8, probe_timeout=150, quiet_s=120):
+    """Wait out a wedged TPU tunnel before this process creates its client.
+
+    The tunnel can wedge (CLAUDE.md: client churn / a client killed
+    mid-computation): ``jax.devices()`` still enumerates but every
+    computation hangs forever. The measured recovery is to keep the host
+    at zero clients and probe with a tiny matmul in a SUBPROCESS under a
+    timeout until one succeeds (30 s – 25 min observed). Probing in a
+    subprocess keeps this process un-initialized, so the eventual real
+    client starts clean. On a healthy tunnel the first probe passes in
+    seconds and this is a no-op. Proceeds anyway after ``max_attempts``
+    (a CPU-only environment would otherwise never pass a TPU probe)."""
+    import subprocess
+    import sys
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((256, 256)); "
+             "print((x @ x).block_until_ready()[0, 0])")
+    for attempt in range(1, max_attempts + 1):
+        try:
+            subprocess.run([sys.executable, '-c', probe], check=True,
+                           timeout=probe_timeout,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            if attempt > 1:
+                print('tunnel probe ok (attempt %d)' % attempt,
+                      file=sys.stderr, flush=True)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print('tunnel probe %d/%d failed; quiet %ds'
+                  % (attempt, max_attempts, quiet_s),
+                  file=sys.stderr, flush=True)
+            time.sleep(quiet_s)
+    print('tunnel probes exhausted — proceeding anyway',
+          file=sys.stderr, flush=True)
+    return False
+
+
 def main():
     import os
+
+    _wait_for_tunnel()
 
     import jax
 
