@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# Serialized labeled=16 SSL-gain sweep on the real chip (round 4).
+#
+# Why labeled=16: the committed labeled=64 sweep (tools/
+# ssl_gain_results.jsonl) is an honest negative — 64 labels SATURATE
+# SupOnly on the synthetic scenes (52.4 mIoU best), leaving SSL no
+# headroom, and every algorithm lands 0.5-5 points BELOW the baseline.
+# The reference benchmark regime is label-starved (1/16-1/8 VOC); 16
+# labels of 512 reproduces that starvation so the unlabeled pool can
+# matter. MT additionally collapsed to all-background at 64 labels the
+# moment its rampup finished (cons_scale 1.0 too hot for from-scratch
+# resnet10); the tuned variant here lowers the consistency pressure and
+# slows the teacher.
+#
+# One TPU client at a time (CLAUDE.md: simultaneous clients wedge the
+# tunnel); tunnel_guard runs first; per-run timeout is generous because
+# killing an active client also wedges the tunnel.
+set -u
+cd "$(dirname "$0")/.."
+ROOT=${ROOT:-/tmp/gain_scenes}
+LOG=${LOG:-/tmp/gain_l16}
+mkdir -p "$LOG"
+
+python tools/tunnel_guard.py || exit 1
+
+run() { # run <algo> [extra args...]
+  local algo=$1; shift
+  echo "=== $(date +%H:%M:%S) $algo $* ==="
+  timeout 2400 python tools/ssl_gain_bench.py run "$algo" \
+    --root "$ROOT" --labeled 16 --backbone resnet10 --lr 0.005 --im 128 \
+    "$@" > "$LOG/${algo}$([ $# -gt 0 ] && echo _t).log" 2>&1
+  local rc=$?
+  echo "=== rc=$rc ==="
+  if [ $rc -eq 124 ]; then
+    # a timeout-kill of an active client means the tunnel must be
+    # assumed wedged — wait it out before the next run
+    python tools/tunnel_guard.py || exit 1
+  fi
+}
+
+run ssl_null
+run ssl_cutmix
+run ssl_cct
+run ssl_adv
+run ssl_gct
+run ssl_mt --tag tuned --delta cons_scale=0.2 --delta ema_decay=0.996 \
+    --delta gaussian_noise_std=0.05 --delta cons_rampup_epochs=6
+run ssl_s4l
+echo "=== queue done $(date +%H:%M:%S) ==="
+python tools/ssl_gain_bench.py report
