@@ -23,17 +23,31 @@ mkdir -p "$LOG"
 
 python tools/tunnel_guard.py || exit 1
 
-run() { # run <algo> [extra args...]
+# scenes are ephemeral under /tmp — regenerate on a fresh host so the
+# per-run 'run gen first' assert doesn't silently no-op the whole sweep
+[ -f "$ROOT/sublabeled_16.txt" ] || \
+  python tools/ssl_gain_bench.py gen --root "$ROOT" || exit 1
+
+run() { # run <algo> [--tag NAME] [extra args...]
   local algo=$1; shift
+  # log name carries the --tag value so two tuned variants of one algo
+  # in a single queue don't overwrite each other's logs
+  local tag="" prev=""
+  for a in "$@"; do
+    [ "$prev" = "--tag" ] && tag=$a
+    prev=$a
+  done
   echo "=== $(date +%H:%M:%S) $algo $* ==="
   timeout 2400 python tools/ssl_gain_bench.py run "$algo" \
-    --root "$ROOT" --labeled 16 --backbone resnet10 --lr 0.005 --im 128 \
-    "$@" > "$LOG/${algo}$([ $# -gt 0 ] && echo _t).log" 2>&1
+    --root "$ROOT" --labeled "${LABELED:-16}" --backbone resnet10 \
+    --lr 0.005 --im 128 \
+    "$@" > "$LOG/${algo}${tag:+_$tag}_l${LABELED:-16}.log" 2>&1
   local rc=$?
   echo "=== rc=$rc ==="
-  if [ $rc -eq 124 ]; then
-    # a timeout-kill of an active client means the tunnel must be
-    # assumed wedged — wait it out before the next run
+  if [ $rc -ne 0 ]; then
+    # ANY unclean client death (timeout SIGKILL=124/137, stuck-detector
+    # SIGABRT=134, crash) must be assumed to wedge the tunnel
+    # (CLAUDE.md) — wait it out before the next run
     python tools/tunnel_guard.py || exit 1
   fi
 }
