@@ -28,6 +28,10 @@ of-magnitude ratio against a CPU is a sanity floor, not a headline
 cost analysis of the compiled program against the chip's bf16 peak.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Since round 5 the same line also carries a SECOND per-round number —
+``gct_steps_per_sec_per_chip``, the GCT production point (b8+4) — as a
+regression guard for the most-optimized path (blur-as-matmul; round-2
+committed value 23.8 steps/s/chip, BASELINE.md).
 """
 
 import json
@@ -92,34 +96,27 @@ def _wait_for_tunnel(max_attempts=8, probe_timeout=150, quiet_s=120):
     return False
 
 
-def main():
-    import os
-
-    _wait_for_tunnel()
+def _measure(algo_name, mesh, loss_key, **overrides):
+    """steps/s/chip for one algorithm at b8+4 R101 @321: K train steps in
+    ONE lax.scan dispatch (hides host/tunnel latency), 2 timed calls."""
+    import sys
 
     import jax
-
-    from pixelssl_tpu.utils import env as _env
-
-    # persistent compile cache: warm re-runs skip the big XLA compile
-    _env.enable_compile_cache(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
-    from jax.sharding import PartitionSpec as P
+    import numpy as np
     from jax import shard_map
+    from jax.sharding import PartitionSpec as P
 
     from pixelssl_tpu import harness, parallel
 
-    mesh = parallel.make_mesh()
     n_dev = mesh.devices.size
-
     args = harness.default_args(
-        'ssl_mt',
+        algo_name,
         backbone='resnet101', im_size=321, num_classes=21,
         batch_size=BATCH_PER_CHIP * n_dev,
         unlabeled_batch_size=UNLABELED_PER_CHIP * n_dev,
         ignore_unlabeled=False,
-        cons_scale=1.0, cons_rampup_epochs=3, ema_decay=0.99,
-        lr=0.00025, momentum=0.9, weight_decay=0.0005, epochs=20)
+        lr=0.00025, momentum=0.9, weight_decay=0.0005, epochs=20,
+        **overrides)
     algo = harness.build_algorithm(args, mesh=mesh, iters_per_epoch=100)
     batch = harness.synthetic_batch(args, mesh)
 
@@ -137,17 +134,16 @@ def main():
 
     # warmup / compile — and a guard that steps actually execute: the step
     # counter must advance and the loss must be finite
-    import sys
-
-    import numpy as np
     t_c = time.perf_counter()
-    print('bench: compiling/warmup...', file=sys.stderr, flush=True)
+    print('bench[%s]: compiling/warmup...' % algo_name,
+          file=sys.stderr, flush=True)
     state, metrics = stepper(algo.state, batch)
     jax.block_until_ready(metrics)
-    print('bench: warmup done in %.0fs' % (time.perf_counter() - t_c),
+    print('bench[%s]: warmup done in %.0fs'
+          % (algo_name, time.perf_counter() - t_c),
           file=sys.stderr, flush=True)
     assert int(np.asarray(state['step'])) == SCAN_STEPS + 1, 'steps did not run'
-    assert np.isfinite(float(np.asarray(metrics['s_task_loss']))), 'loss not finite'
+    assert np.isfinite(float(np.asarray(metrics[loss_key]))), 'loss not finite'
 
     n_calls = 2
     t0 = time.perf_counter()
@@ -157,8 +153,50 @@ def main():
     dt = time.perf_counter() - t0
 
     total_steps = n_calls * (SCAN_STEPS + 1)
-    steps_per_sec_per_chip = total_steps / dt / n_dev
+    print('bench[%s]: timed %d steps in %.1fs' % (algo_name, total_steps, dt),
+          file=sys.stderr, flush=True)
+    return total_steps / dt / n_dev
+
+
+def main():
+    import os
+    import sys
+
+    _wait_for_tunnel()
+
+    import jax
+
+    from pixelssl_tpu.utils import env as _env
+
+    # persistent compile cache: warm re-runs skip the big XLA compile
+    _env.enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
+    from pixelssl_tpu import parallel
+
+    mesh = parallel.make_mesh()
+
+    steps_per_sec_per_chip = _measure(
+        'ssl_mt', mesh, 's_task_loss',
+        cons_scale=1.0, cons_rampup_epochs=3, ema_decay=0.99)
     samples_per_sec_per_chip = steps_per_sec_per_chip * BATCH_PER_CHIP
+
+    # Second committed per-round number (round-4 verdict item #6): the GCT
+    # production point b8+4 — the most-optimized path (FlawmapHandler/FDGT
+    # blurs as MXU matmuls, ops/blur_pallas.py banded-einsum form; +55%
+    # cumulative over round 1) and the likeliest to regress silently.
+    # Round-2 reference value: 23.8 steps/s/chip (BASELINE.md). Config
+    # scales mirror the reference GCT recipe
+    # (/root/reference/task/sseg/script/deeplabv2_pascalvoc_1-8_sslgct.py).
+    gct_steps = None
+    try:
+        gct_steps = _measure(
+            'ssl_gct', mesh, 'l_task_loss',
+            ssl_mode='gct', fc_ssl_scale=1.0, dc_ssl_scale=100.0,
+            dc_threshold=0.6, fd_lr=1e-4, fd_scale=10.0, mu=0.5, nu=1,
+            dc_rampup_epochs=3)
+    except Exception as e:  # best-effort; the MT headline stands alone
+        print('bench: GCT secondary measurement failed: %r' % (e,),
+              file=sys.stderr, flush=True)
 
     # MFU from the XLA cost analysis of the compiled multi-step program:
     # flops are for the whole (SCAN_STEPS+1)-step dispatch across n_dev
@@ -166,8 +204,6 @@ def main():
     _PEAK_BF16 = {'TPU v5 lite': 197e12, 'TPU v5e': 197e12,
                   'TPU v4': 275e12, 'TPU v6 lite': 918e12,
                   'TPU v6e': 918e12}
-    print('bench: timed %d steps in %.1fs' % (total_steps, dt),
-          file=sys.stderr, flush=True)
     # MFU from the committed HLO cost analysis of the SAME step program
     # (tools/flops_probe.py -> tools/mt_step_flops.json): the axon TPU
     # platform returns None from Lowered.cost_analysis() and its compiled
@@ -211,6 +247,15 @@ def main():
     if mfu is not None:
         record['mfu_bf16'] = round(mfu, 3)
         record['tflop_per_step'] = round(flops_per_step / 1e12, 3)
+    if gct_steps is not None:
+        # per-round regression guard for the most-optimized path; compare
+        # against round 2's committed 23.8 steps/s/chip (BASELINE.md)
+        record['gct_metric'] = ('ssl_gct_deeplabv2_r101_321_b8+4_'
+                                'train_steps_per_sec_per_chip')
+        record['gct_steps_per_sec_per_chip'] = round(gct_steps, 2)
+        record['gct_samples_per_sec_per_chip'] = round(
+            gct_steps * BATCH_PER_CHIP, 2)
+        record['gct_vs_round2_23.8'] = round(gct_steps / 23.8, 3)
     measured, meta = _measured_torch_baseline()
     if measured:
         # MEASURED reference-torch rate — but on this host's 1-thread CPU,
