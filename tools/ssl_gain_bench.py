@@ -380,7 +380,7 @@ def report(results_path):
             100 * r['final_val_miou'], delta))
 
 
-def main():
+def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
 
@@ -432,7 +432,11 @@ def main():
     q.add_argument('--results',
                    default=os.path.join(_HERE, 'ssl_gain_results.jsonl'))
 
-    opts = p.parse_args()
+    return p
+
+
+def main():
+    opts = build_parser().parse_args()
     if opts.cmd == 'gen':
         generate(os.path.abspath(opts.root), opts.train, opts.val,
                  opts.seed, opts.scene)
