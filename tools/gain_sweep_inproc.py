@@ -60,6 +60,23 @@ SPECS = [
     ['ssl_cct', '--labeled', '32'] + CCT_GENTLE,
 ]
 
+# seed-variance legs for the headline labeled=16 rows: 3 seeds each for
+# the baseline and the two clearly-positive algorithms, so the gains can
+# be reported as mean +- spread instead of a hand-waved noise estimate
+SEED_SPECS = [
+    # --out per seed: the exp_id tag is not seed-suffixed, so sharing
+    # out_path would append to the seed-1 run's metrics.jsonl and the
+    # harvest would mix curves across seeds
+    ['ssl_null', '--labeled', '16', '--seed', s,
+     '--out', ROOT + '/result_s' + s] for s in ('2', '3')
+] + [
+    ['ssl_cutmix', '--labeled', '16', '--seed', s,
+     '--out', ROOT + '/result_s' + s] for s in ('2', '3')
+] + [
+    ['ssl_cct', '--labeled', '16', '--seed', s,
+     '--out', ROOT + '/result_s' + s] + CCT_GENTLE for s in ('2', '3')
+]
+
 
 def _done_keys():
     keys = set()
@@ -67,25 +84,27 @@ def _done_keys():
         with open(RESULTS) as f:
             for line in f:
                 r = json.loads(line)
-                keys.add((r['labeled'], r['algo']))
+                keys.add((r['labeled'], r['algo'], r.get('seed', 1)))
     return keys
 
 
 def main():
     dry = '--dry' in sys.argv
+    specs = SEED_SPECS if '--seeds' in sys.argv else SPECS
     parser_argv = lambda spec: ['run'] + spec + BASE  # noqa: E731
     done = _done_keys()
     todo = []
-    for spec in SPECS:
+    for spec in specs:
         algo = spec[0]
         labeled = int(spec[spec.index('--labeled') + 1])
         tag = spec[spec.index('--tag') + 1] if '--tag' in spec else ''
-        key = (labeled, algo + ('/' + tag if tag else ''))
+        seed = int(spec[spec.index('--seed') + 1]) if '--seed' in spec else 1
+        key = (labeled, algo + ('/' + tag if tag else ''), seed)
         if key in done:
             print('skip (recorded):', key)
             continue
         todo.append((key, spec))
-    print('%d/%d specs to run' % (len(todo), len(SPECS)), flush=True)
+    print('%d/%d specs to run' % (len(todo), len(specs)), flush=True)
     if dry:
         return
 
