@@ -77,6 +77,24 @@ SEED_SPECS = [
      '--out', ROOT + '/result_s' + s] + CCT_GENTLE for s in ('2', '3')
 ]
 
+# tuning-effect legs: the gentle-vs-default comparisons are paired at a
+# fixed seed, so replicating BOTH arms at seeds 2/3 turns the "regime
+# tuning moves algorithms beyond seed noise" claim into a 3-seed paired
+# statistic (CCT default arm; MT tuned + gentle arms)
+TUNING_SPECS = [
+    ['ssl_cct', '--labeled', '16', '--seed', s,
+     '--out', ROOT + '/result_s' + s] for s in ('2', '3')
+] + [
+    ['ssl_mt', '--labeled', '16', '--seed', s,
+     '--out', ROOT + '/result_s' + s] + MT_GENTLE for s in ('2', '3')
+] + [
+    ['ssl_mt', '--labeled', '16', '--seed', s, '--tag', 'tuned',
+     '--out', ROOT + '/result_s' + s,
+     '--delta', 'cons_scale=0.2', '--delta', 'ema_decay=0.996',
+     '--delta', 'gaussian_noise_std=0.05',
+     '--delta', 'cons_rampup_epochs=6'] for s in ('2', '3')
+]
+
 
 def _done_keys():
     keys = set()
@@ -90,7 +108,8 @@ def _done_keys():
 
 def main():
     dry = '--dry' in sys.argv
-    specs = SEED_SPECS if '--seeds' in sys.argv else SPECS
+    specs = (TUNING_SPECS if '--tuning' in sys.argv
+             else SEED_SPECS if '--seeds' in sys.argv else SPECS)
     parser_argv = lambda spec: ['run'] + spec + BASE  # noqa: E731
     done = _done_keys()
     todo = []
