@@ -63,18 +63,19 @@ SPECS = [
 # seed-variance legs for the headline labeled=16 rows: 3 seeds each for
 # the baseline and the two clearly-positive algorithms, so the gains can
 # be reported as mean +- spread instead of a hand-waved noise estimate
+_SEEDS = tuple(os.environ.get('GAIN_SEEDS', '2,3').split(','))
 SEED_SPECS = [
     # --out per seed: the exp_id tag is not seed-suffixed, so sharing
     # out_path would append to the seed-1 run's metrics.jsonl and the
     # harvest would mix curves across seeds
     ['ssl_null', '--labeled', '16', '--seed', s,
-     '--out', ROOT + '/result_s' + s] for s in ('2', '3')
+     '--out', ROOT + '/result_s' + s] for s in _SEEDS
 ] + [
     ['ssl_cutmix', '--labeled', '16', '--seed', s,
-     '--out', ROOT + '/result_s' + s] for s in ('2', '3')
+     '--out', ROOT + '/result_s' + s] for s in _SEEDS
 ] + [
     ['ssl_cct', '--labeled', '16', '--seed', s,
-     '--out', ROOT + '/result_s' + s] + CCT_GENTLE for s in ('2', '3')
+     '--out', ROOT + '/result_s' + s] + CCT_GENTLE for s in _SEEDS
 ]
 
 # tuning-effect legs: the gentle-vs-default comparisons are paired at a
