@@ -379,6 +379,29 @@ def report(results_path):
             lab, algo, seed, 100 * r['best_val_miou'],
             100 * r['final_val_miou'], delta))
 
+    # seed-aggregate view: paired same-seed deltas vs SupOnly, mean +- sd
+    # when an algorithm has been replicated — the per-seed rows above are
+    # single draws from +-2-3 mIoU run noise (BASELINE.md seed study) and
+    # must not be read as effects on their own
+    agg = collections.defaultdict(list)
+    for (lab, algo, seed), r in sorted(table.items()):
+        name, _, tag = algo.partition('/')
+        b = base.get((lab, seed, tag), base.get((lab, seed, '')))
+        if b is not None and name != 'ssl_null':
+            agg[(lab, algo)].append(100 * (r['best_val_miou'] - b))
+    multi = {k: v for k, v in agg.items() if len(v) > 1}
+    if multi:
+        print()
+        print('Paired vs-SupOnly deltas across seeds (n>1 only):')
+        print('| labeled | algorithm | n seeds | mean Δ | sd |')
+        print('|---|---|---|---|---|')
+        for (lab, algo), ds in sorted(multi.items()):
+            mean = sum(ds) / len(ds)
+            sd = (sum((d - mean) ** 2 for d in ds)
+                  / (len(ds) - 1)) ** 0.5
+            print('| {0} | {1} | {2} | {3:+.2f} | {4:.2f} |'.format(
+                lab, algo, len(ds), mean, sd))
+
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
