@@ -97,6 +97,25 @@ TUNING_SPECS = [
 ]
 
 
+# final replication legs: MT arms to n=5 (the robust "MT below SupOnly"
+# claim gets 10 negative-or-not draws) and GCT-gentle to n=3 (removing
+# the last n=1 anecdote from the tuned table)
+FINAL_SPECS = [
+    ['ssl_mt', '--labeled', '16', '--seed', s,
+     '--out', ROOT + '/result_s' + s] + MT_GENTLE for s in ('4', '5')
+] + [
+    ['ssl_mt', '--labeled', '16', '--seed', s, '--tag', 'tuned',
+     '--out', ROOT + '/result_s' + s,
+     '--delta', 'cons_scale=0.2', '--delta', 'ema_decay=0.996',
+     '--delta', 'gaussian_noise_std=0.05',
+     '--delta', 'cons_rampup_epochs=6'] for s in ('4', '5')
+] + [
+    ['ssl_gct', '--labeled', '16', '--seed', s,
+     '--out', ROOT + '/result_s' + s] + GCT_GENTLE
+    for s in ('2', '3', '4', '5')
+]
+
+
 def _done_keys():
     keys = set()
     if os.path.exists(RESULTS):
@@ -109,7 +128,8 @@ def _done_keys():
 
 def main():
     dry = '--dry' in sys.argv
-    specs = (TUNING_SPECS if '--tuning' in sys.argv
+    specs = (FINAL_SPECS if '--final' in sys.argv
+             else TUNING_SPECS if '--tuning' in sys.argv
              else SEED_SPECS if '--seeds' in sys.argv else SPECS)
     parser_argv = lambda spec: ['run'] + spec + BASE  # noqa: E731
     done = _done_keys()
